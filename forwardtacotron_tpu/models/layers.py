@@ -1,0 +1,383 @@
+"""Core neural blocks, designed TPU-first with flax.linen.
+
+Covers the shared blocks of reference models/common_layers.py — HighwayNetwork
+(:27-40), BatchNormConv with its ReLU-before-BN order (:43-57), CBHG (:60-124),
+PositionalEncoding (:127-145), FFTBlock (:148-185), ForwardTransformer
+(:188-223) — plus PyTorch-gate-compatible GRU/LSTM cells.
+
+Design choices that differ from the reference implementation (not behavior):
+  * batch-first channels-last [B, T, C] everywhere; convs lower to XLA
+    `conv_general_dilated` on the MXU instead of [B, C, T] torch Conv1d.
+  * RNNs precompute the input projection for the whole sequence as one big
+    matmul, then `lax.scan` only carries the recurrent matmul — the input
+    GEMM runs on the MXU at full batch size instead of per-step.
+  * Parameters keep PyTorch gate order (GRU: r,z,n; LSTM: i,f,g,o) so
+    reference checkpoints convert by transpose alone.
+"""
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# ----------------------------------------------------------------- primitives
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [B, T, C] with torch-style ``padding=kernel//2``.
+
+    For even kernels torch produces T+1 outputs; we mirror that and let the
+    caller truncate (CBHG bank semantics, reference common_layers.py:99).
+    """
+    features: int
+    kernel: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2
+        return nn.Conv(features=self.features,
+                       kernel_size=(self.kernel,),
+                       padding=[(pad, pad)],
+                       use_bias=self.use_bias,
+                       name='conv')(x)
+
+
+class BatchNormConv(nn.Module):
+    """Conv (no bias) -> optional ReLU -> BatchNorm.
+
+    The ReLU runs BEFORE the norm — a quirk of the reference
+    (models/common_layers.py:54-57) that checkpoints depend on.
+    """
+    features: int
+    kernel: int
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        t = x.shape[1]
+        x = Conv1d(self.features, self.kernel, use_bias=False)(x)
+        x = x[:, :t, :]  # even kernels emit one extra frame
+        if self.relu:
+            x = jax.nn.relu(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='bnorm')(x)
+        return x
+
+
+class HighwayNetwork(nn.Module):
+    """y = g * relu(W1 x) + (1 - g) * x, g = sigmoid(W2 x)."""
+    size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x1 = nn.Dense(self.size, name='W1')(x)
+        x2 = nn.Dense(self.size, name='W2')(x)
+        g = jax.nn.sigmoid(x2)
+        return g * jax.nn.relu(x1) + (1.0 - g) * x
+
+
+# ----------------------------------------------------------------------- RNNs
+
+
+def flip_sequences(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Reverse along time; with ``lengths`` only the valid prefix is reversed
+    (so a backward RNN starts at the true last frame, matching
+    pack_padded_sequence semantics of reference forward_tacotron.py:147-152)."""
+    if lengths is None:
+        return jnp.flip(x, axis=1)
+    t = x.shape[1]
+    pos = jnp.arange(t)[None, :]
+    idx = jnp.where(pos < lengths[:, None], lengths[:, None] - 1 - pos, pos)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU with PyTorch gate layout (r, z, n).
+
+    Input projection for the full sequence is a single [B,T,I]x[I,3H] GEMM;
+    the scan body only computes the [H,3H] recurrent GEMM per step.
+    """
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        h = self.hidden
+        scale = 1.0 / math.sqrt(h)
+        init = nn.initializers.uniform(scale=2 * scale)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - scale
+
+        wi = self.param('wi', uinit, (in_dim, 3 * h))
+        wh = self.param('wh', uinit, (h, 3 * h))
+        bi = self.param('bi', uinit, (3 * h,))
+        bh = self.param('bh', uinit, (3 * h,))
+
+        if self.reverse:
+            x = flip_sequences(x, lengths)
+
+        xproj = x @ wi + bi  # [B, T, 3H]
+
+        def step(hprev, xp):
+            hproj = hprev @ wh + bh
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            hnew = (1.0 - z) * n + z * hprev
+            return hnew, hnew
+
+        h0 = jnp.zeros((x.shape[0], h), x.dtype)
+        _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1))
+        hs = jnp.swapaxes(hs, 0, 1)
+
+        if self.reverse:
+            hs = flip_sequences(hs, lengths)
+        return hs
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM with PyTorch gate layout (i, f, g, o)."""
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        h = self.hidden
+        scale = 1.0 / math.sqrt(h)
+        init = nn.initializers.uniform(scale=2 * scale)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - scale
+
+        wi = self.param('wi', uinit, (in_dim, 4 * h))
+        wh = self.param('wh', uinit, (h, 4 * h))
+        bi = self.param('bi', uinit, (4 * h,))
+        bh = self.param('bh', uinit, (4 * h,))
+
+        if self.reverse:
+            x = flip_sequences(x, lengths)
+
+        xproj = x @ wi + bi
+
+        def step(carry, xp):
+            hprev, cprev = carry
+            gates = xp + hprev @ wh + bh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * cprev + i * g
+            hnew = o * jnp.tanh(c)
+            return (hnew, c), hnew
+
+        h0 = jnp.zeros((x.shape[0], h), x.dtype)
+        (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xproj, 0, 1))
+        hs = jnp.swapaxes(hs, 0, 1)
+
+        if self.reverse:
+            hs = flip_sequences(hs, lengths)
+        return hs
+
+
+class BiGRU(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        fwd = GRU(self.hidden, name='fwd')(x, lengths)
+        bwd = GRU(self.hidden, reverse=True, name='bwd')(x, lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class BiLSTM(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        fwd = LSTM(self.hidden, name='fwd')(x, lengths)
+        bwd = LSTM(self.hidden, reverse=True, name='bwd')(x, lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+# ----------------------------------------------------------------------- CBHG
+
+
+def maxpool_time(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool1d(kernel=2, stride=1, padding=1) over time, truncated to T
+    (reference common_layers.py:78,105)."""
+    t = x.shape[1]
+    pooled = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (0, 0)))
+    return pooled[:, :t, :]
+
+
+class CBHG(nn.Module):
+    """Conv bank (k=1..K) -> maxpool -> 2 projections -> residual -> highway
+    stack -> bidirectional GRU (reference common_layers.py:60-124)."""
+    K: int
+    channels: int
+    proj_channels: Sequence[int]
+    num_highways: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        t = x.shape[1]
+
+        bank = [BatchNormConv(self.channels, k, name=f'conv1d_bank_{k - 1}')(x, train)[:, :t, :]
+                for k in range(1, self.K + 1)]
+        x = jnp.concatenate(bank, axis=-1)
+
+        x = maxpool_time(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        x = BatchNormConv(self.proj_channels[0], 3, name='conv_project1')(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = BatchNormConv(self.proj_channels[1], 3, relu=False,
+                          name='conv_project2')(x, train)
+
+        x = x + residual
+
+        x = nn.Dense(self.channels, use_bias=False, name='pre_highway')(x)
+        for i in range(self.num_highways):
+            x = HighwayNetwork(self.channels, name=f'highways_{i}')(x)
+
+        return BiGRU(self.channels, name='rnn')(x)
+
+
+# ---------------------------------------------------------------- transformer
+
+
+def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                      * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal PE with a learned scalar scale (reference common_layers.py:127-145)."""
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        scale = self.param('scale', nn.initializers.ones, (1,))
+        pe = jnp.asarray(sinusoidal_table(self.max_len, self.d_model))
+        x = x + scale * pe[None, :x.shape[1], :]
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with torch ``MultiheadAttention`` parameterization
+    (joint in-projection split into q/k/v) and key-padding masking."""
+    d_model: int
+    n_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 key_pad_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        b, t, d = x.shape
+        h = self.n_heads
+        head_dim = d // h
+
+        q = nn.Dense(d, name='q_proj')(x)
+        k = nn.Dense(d, name='k_proj')(x)
+        v = nn.Dense(d, name='v_proj')(x)
+
+        def split_heads(a):
+            return a.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(head_dim)
+        if key_pad_mask is not None:  # [B, T] True = padding
+            logits = jnp.where(key_pad_mask[:, None, None, :], -jnp.inf, logits)
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = jnp.where(jnp.isnan(weights), 0.0, weights)
+        weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name='out_proj')(out)
+
+
+class FFTBlock(nn.Module):
+    """Post-norm transformer block with conv feed-forward
+    (reference common_layers.py:148-185)."""
+    d_model: int
+    n_heads: int
+    d_fft: int
+    conv1_kernel: int
+    conv2_kernel: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 key_pad_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
+                                  name='self_attn')(x, key_pad_mask, train)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        x = nn.LayerNorm(name='norm1')(x)
+
+        t = x.shape[1]
+        y = Conv1d(self.d_fft, self.conv1_kernel, name='conv1')(x)[:, :t, :]
+        y = jax.nn.relu(y)
+        y = Conv1d(self.d_model, self.conv2_kernel, name='conv2')(y)[:, :t, :]
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(name='norm2')(x)
+
+
+class ForwardTransformer(nn.Module):
+    """PE + N FFTBlocks + final LayerNorm (reference common_layers.py:188-223)."""
+    d_model: int
+    d_fft: int
+    layers: int
+    heads: int
+    conv1_kernel: int
+    conv2_kernel: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 key_pad_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        x = PositionalEncoding(self.d_model, self.dropout,
+                               name='pos_encoder')(x, train)
+        for i in range(self.layers):
+            x = FFTBlock(self.d_model, self.heads, self.d_fft,
+                         self.conv1_kernel, self.conv2_kernel, self.dropout,
+                         name=f'layers_{i}')(x, key_pad_mask, train)
+        return nn.LayerNorm(name='norm')(x)
+
+
+def make_token_pad_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, N] int tokens -> [B, N] bool, True at padding (token id 0)."""
+    return x == 0
+
+
+def make_len_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths -> [B, max_len] bool, True at positions >= length."""
+    return jnp.arange(max_len)[None, :] >= lengths[:, None]

@@ -9,11 +9,18 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The container's sitecustomize pre-imports jax and pins JAX_PLATFORMS=axon
+# (remote TPU relay), so plain env vars are too late; jax.config.update wins
+# as long as no jax computation has run yet.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
