@@ -26,24 +26,16 @@ from flax import linen as nn
 # ----------------------------------------------------------------- primitives
 
 
-class Conv1d(nn.Module):
-    """1-D convolution over [B, T, C] with torch-style ``padding=kernel//2``.
+def conv1d(features: int, kernel: int, use_bias: bool = True,
+           name: str = 'conv') -> nn.Conv:
+    """1-D conv over [B, T, C] with torch-style ``padding=kernel//2``.
 
-    For even kernels torch produces T+1 outputs; we mirror that and let the
-    caller truncate (CBHG bank semantics, reference common_layers.py:99).
+    For even kernels torch produces T+1 outputs; callers truncate to T
+    (CBHG bank semantics, reference common_layers.py:99).
     """
-    features: int
-    kernel: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = self.kernel // 2
-        return nn.Conv(features=self.features,
-                       kernel_size=(self.kernel,),
-                       padding=[(pad, pad)],
-                       use_bias=self.use_bias,
-                       name='conv')(x)
+    pad = kernel // 2
+    return nn.Conv(features=features, kernel_size=(kernel,),
+                   padding=[(pad, pad)], use_bias=use_bias, name=name)
 
 
 class BatchNormConv(nn.Module):
@@ -59,7 +51,7 @@ class BatchNormConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         t = x.shape[1]
-        x = Conv1d(self.features, self.kernel, use_bias=False)(x)
+        x = conv1d(self.features, self.kernel, use_bias=False)(x)
         x = x[:, :t, :]  # even kernels emit one extra frame
         if self.relu:
             x = jax.nn.relu(x)
@@ -237,7 +229,12 @@ class CBHG(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``lengths`` makes the bidirectional GRU start its backward pass at
+        the true last frame of each item — needed when the input is padded to
+        a static bucket length (the reference always sees exact lengths, so
+        None reproduces its behavior on padded batches)."""
         residual = x
         t = x.shape[1]
 
@@ -259,7 +256,7 @@ class CBHG(nn.Module):
         for i in range(self.num_highways):
             x = HighwayNetwork(self.channels, name=f'highways_{i}')(x)
 
-        return BiGRU(self.channels, name='rnn')(x)
+        return BiGRU(self.channels, name='rnn')(x, lengths)
 
 
 # ---------------------------------------------------------------- transformer
@@ -336,16 +333,26 @@ class FFTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  key_pad_mask: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 conv_zero_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``conv_zero_mask`` [B, T] zeroes frames before the conv stack so a
+        bucket-padded static sequence produces the same conv outputs as the
+        reference's exact-length run (convolutions are not masked by the
+        attention padding mask; only explicit zeros reproduce torch's
+        implicit boundary padding)."""
         attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
                                   name='self_attn')(x, key_pad_mask, train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = nn.LayerNorm(name='norm1')(x)
 
         t = x.shape[1]
-        y = Conv1d(self.d_fft, self.conv1_kernel, name='conv1')(x)[:, :t, :]
+        y = x if conv_zero_mask is None else jnp.where(
+            conv_zero_mask[:, :, None], 0.0, x)
+        y = conv1d(self.d_fft, self.conv1_kernel, name='conv1')(y)[:, :t, :]
         y = jax.nn.relu(y)
-        y = Conv1d(self.d_model, self.conv2_kernel, name='conv2')(y)[:, :t, :]
+        if conv_zero_mask is not None:
+            y = jnp.where(conv_zero_mask[:, :, None], 0.0, y)
+        y = conv1d(self.d_model, self.conv2_kernel, name='conv2')(y)[:, :t, :]
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
         return nn.LayerNorm(name='norm2')(x)
 
@@ -363,13 +370,15 @@ class ForwardTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  key_pad_mask: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 conv_zero_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = PositionalEncoding(self.d_model, self.dropout,
                                name='pos_encoder')(x, train)
         for i in range(self.layers):
             x = FFTBlock(self.d_model, self.heads, self.d_fft,
                          self.conv1_kernel, self.conv2_kernel, self.dropout,
-                         name=f'layers_{i}')(x, key_pad_mask, train)
+                         name=f'layers_{i}')(x, key_pad_mask, train,
+                                             conv_zero_mask)
         return nn.LayerNorm(name='norm')(x)
 
 
