@@ -1,0 +1,94 @@
+"""Benchmark: audio-seconds of mel synthesized per second per chip.
+
+Runs batched two-phase synthesis with the flagship ForwardTacotron
+(full-size singlespeaker config) and reports throughput as audio-seconds of
+generated mel per wall-clock second per chip. The reference headline is
+~0.04 s to synthesize one sentence's mel on an RTX 2080 (README.md:15);
+assuming a ~6 s sentence that is ~150 audio-s/s, used as vs_baseline=1.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SECONDS_PER_S = 150.0
+
+# synthetic benchmark sentences: phoneme-domain text of realistic lengths
+BENCH_SENTENCES = [
+    'ðə kwɪk bɹaʊn fɑks dʒʌmps oʊvɚ ðə leɪzi dɔɡ ænd ɹʌnz əweɪ ɪntʊ ðə fɔɹɪst.',
+    'ɪn ə taʊn wɛɹ ðə ɹɪvɚ bɛndz, ðə laɪts ʃaɪn leɪt ɪntʊ ðə naɪt wɪθ ə wɔɹm gloʊ.',
+    'sɪnθəsɪs ɑn ə tɛnsɚ pɹoʊsɛsɪŋ junɪt ɪz fæst wɛn ðə kɑmpaɪlɚ kæn taɪl ɛvɹi mætmʌl.',
+    'ʃi soʊld siʃɛlz baɪ ðə siʃɔɹ waɪl ðə weɪvz keɪm ɪn wʌn æftɚ ənʌðɚ wɪðaʊt ɛnd.',
+    'ə lɔŋ sɛntəns wɪθ mɛni fəʊnimz wɪl tɛst ðə lɛŋθ ɹɛgjəleɪtɚ ænd ðə dikoʊdɚ tugɛðɚ.',
+    'tumɔɹoʊ mɔɹnɪŋ ðə tɹeɪn livz æt sɛvən θɝti fɹʌm plætfɔɹm naɪn ænd ə hæf.',
+    'ɛvɹi gʊd bɔɪ dʌz faɪn ænd ɛvɹi gʊd gɝl dʌz bɛtɚ ðæn ɛvɚ bɪfɔɹ.',
+    'ðɪs ɪz ðə faɪnəl sɛntəns ʌv ðə bɛntʃmɑɹk sɛt, ʃɔɹt ænd tu ðə pɔɪnt.',
+]
+
+
+def main():
+    import jax
+
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import TTSInference, bucket_frames
+    from forwardtacotron_tpu.text.tokenizer import Tokenizer
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('configs/singlespeaker.yaml')
+    hop = config['dsp']['hop_length']
+    sr = config['dsp']['sample_rate']
+    n_devices = jax.device_count()
+
+    model = init_tts_model(config)
+    tok = Tokenizer()
+    token_lists = [tok(s) for s in BENCH_SENTENCES]
+    max_tokens = max(len(t) for t in token_lists)
+    batch_size = 32
+    # tile sentences to a full batch, pad tokens to one static length
+    x = np.zeros((batch_size, max_tokens), np.int64)
+    for i in range(batch_size):
+        toks = token_lists[i % len(token_lists)]
+        x[i, :len(toks)] = toks
+
+    init_batch = {
+        'x': x[:1], 'dur': np.ones((1, max_tokens), np.float32),
+        'mel_len': np.array([max_tokens]),
+        'pitch': np.zeros((1, max_tokens), np.float32),
+        'energy': np.zeros((1, max_tokens), np.float32),
+        'mel': np.zeros((1, max_tokens, config['dsp']['num_mels']), np.float32),
+    }
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           init_batch, train=False)
+    inference = TTSInference(model, variables, multispeaker=False)
+
+    # warmup: compile both phases (durations from a random-init model are
+    # noise, so frame counts vary run-to-run; bucket bounds recompiles)
+    out = inference.generate(x)
+    jax.block_until_ready(out['mel_post'])
+
+    n_iters = 10
+    total_frames = 0
+    start = time.time()
+    for _ in range(n_iters):
+        out = inference.generate(x)
+        jax.block_until_ready(out['mel_post'])
+        total_frames += int(np.sum(np.asarray(out['mel_len'])))
+    elapsed = time.time() - start
+
+    audio_seconds = total_frames * hop / sr
+    value = audio_seconds / elapsed / n_devices
+    print(json.dumps({
+        'metric': 'audio-seconds synthesized/s/chip (ForwardTacotron mel, batch 32)',
+        'value': round(value, 2),
+        'unit': 'audio_s/s/chip',
+        'vs_baseline': round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())
