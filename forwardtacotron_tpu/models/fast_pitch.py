@@ -16,7 +16,7 @@ from forwardtacotron_tpu.models.layers import (ForwardTransformer,
                                                make_len_mask,
                                                make_token_pad_mask)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
-                                                      length_regulator)
+                                                      length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
 
 PAD_VALUE = -11.5129
@@ -182,7 +182,7 @@ class FastPitch(nn.Module):
         h = h + self.pitch_proj(pitch[:, :, None]) * self.pitch_strength
         h = h + self.energy_proj(energy[:, :, None]) * self.energy_strength
 
-        h = length_regulator(h, dur, max_len=max_len)
+        h = length_regulator_auto(h, dur, max_len=max_len)
         h = self.postnet(h, mel_pad_mask, train,
                          conv_zero_mask=conv_zero_mask)
         return self.lin(h)

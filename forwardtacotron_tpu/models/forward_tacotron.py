@@ -21,7 +21,7 @@ from flax import linen as nn
 from forwardtacotron_tpu.models.layers import (CBHG, BatchNormConv, BiGRU,
                                                BiLSTM, make_len_mask)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
-                                                      length_regulator)
+                                                      length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
 
 PAD_VALUE = -11.5129
@@ -180,7 +180,7 @@ class ForwardTacotron(nn.Module):
         energy_proj = self.energy_proj(energy[:, :, None])
         h = h + energy_proj * self.energy_strength
 
-        h = length_regulator(h, dur, max_len=max_len)
+        h = length_regulator_auto(h, dur, max_len=max_len)
 
         if mel_lens is not None:
             h = self.lstm(h, lengths=mel_lens)

@@ -231,10 +231,18 @@ class CBHG(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """``lengths`` makes the bidirectional GRU start its backward pass at
-        the true last frame of each item — needed when the input is padded to
-        a static bucket length (the reference always sees exact lengths, so
-        None reproduces its behavior on padded batches)."""
+        """``lengths`` emulates the reference's exact-length semantics on a
+        padded static shape: every convolution input is zeroed beyond the
+        item's length (reproducing torch's implicit zero boundary — with
+        trained BatchNorm stats a conv output at a padded frame is NOT zero,
+        so look-ahead taps must never read one) and the bidirectional GRU
+        starts its backward pass at the true last frame. With None the
+        reference's padded-batch training behavior is reproduced verbatim."""
+        tail = None
+        if lengths is not None:
+            tail = (jnp.arange(x.shape[1])[None, :]
+                    >= lengths[:, None])[:, :, None]
+            x = jnp.where(tail, 0.0, x)
         residual = x
         t = x.shape[1]
 
@@ -243,9 +251,13 @@ class CBHG(nn.Module):
         x = jnp.concatenate(bank, axis=-1)
 
         x = maxpool_time(x)
+        if tail is not None:
+            x = jnp.where(tail, 0.0, x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         x = BatchNormConv(self.proj_channels[0], 3, name='conv_project1')(x, train)
+        if tail is not None:
+            x = jnp.where(tail, 0.0, x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = BatchNormConv(self.proj_channels[1], 3, relu=False,
                           name='conv_project2')(x, train)

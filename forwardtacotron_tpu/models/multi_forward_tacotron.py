@@ -17,7 +17,7 @@ from flax import linen as nn
 from forwardtacotron_tpu.models.layers import (CBHG, BatchNormConv, BiGRU,
                                                BiLSTM, make_len_mask)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
-                                                      length_regulator)
+                                                      length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
 
 PAD_VALUE = -11.5129
@@ -208,7 +208,7 @@ class MultiForwardTacotron(nn.Module):
         h = h + self.pitch_proj(pitch[:, :, None]) * self.pitch_strength
         h = h + self.energy_proj(energy[:, :, None]) * self.energy_strength
 
-        h = length_regulator(h, dur, max_len=max_len)
+        h = length_regulator_auto(h, dur, max_len=max_len)
 
         if mel_lens is not None:
             h = self.lstm(h, lengths=mel_lens)

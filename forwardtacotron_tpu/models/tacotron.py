@@ -100,12 +100,14 @@ class Encoder(nn.Module):
     dropout: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 x_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.Embed(self.num_chars, self.embed_dims, name='embedding')(x)
         h = PreNet(name='pre_net')(h, dropout_on=train)
         h = CBHG(K=self.K, channels=self.cbhg_channels,
                  proj_channels=[self.cbhg_channels, self.cbhg_channels],
-                 num_highways=self.num_highways, name='cbhg')(h, train)
+                 num_highways=self.num_highways, name='cbhg')(h, train,
+                                                              lengths=x_lens)
         return h
 
 
@@ -121,8 +123,8 @@ class LSA(nn.Module):
 
     @nn.compact
     def __call__(self, encoder_seq_proj: jnp.ndarray, query: jnp.ndarray,
-                 cumulative: jnp.ndarray, attention: jnp.ndarray
-                 ) -> jnp.ndarray:
+                 cumulative: jnp.ndarray, attention: jnp.ndarray,
+                 token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # location features: [B, N, 2] -> conv over N -> [B, N, filters]
         location = jnp.stack([cumulative, attention], axis=-1)
         pad = (self.kernel_size - 1) // 2
@@ -133,6 +135,8 @@ class LSA(nn.Module):
         processed_query = nn.Dense(self.attn_dim, name='W')(query)[:, None, :]
         u = nn.Dense(1, use_bias=False, name='v')(
             jnp.tanh(processed_query + encoder_seq_proj + processed_loc))[..., 0]
+        if token_mask is not None:  # padded token columns get no mass
+            u = jnp.where(token_mask, -1e9, u)
         return jax.nn.softmax(u, axis=1)
 
 
@@ -157,7 +161,8 @@ class Decoder(nn.Module):
                  r: int,
                  train: bool = False,
                  prenet_dropout_on: bool = False,
-                 zoneout_keys: Optional[jnp.ndarray] = None
+                 zoneout_keys: Optional[jnp.ndarray] = None,
+                 token_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[Dict[str, jnp.ndarray],
                             Tuple[jnp.ndarray, jnp.ndarray]]:
         prenet_out = self.prenet(prenet_in, dropout_on=prenet_dropout_on)
@@ -166,7 +171,8 @@ class Decoder(nn.Module):
         attn_hidden = self.attn_rnn(attn_rnn_in, carry['attn_hidden'])
 
         scores = self.attn_net(encoder_seq_proj, attn_hidden,
-                               carry['cumulative'], carry['attention'])
+                               carry['cumulative'], carry['attention'],
+                               token_mask)
         cumulative = carry['cumulative'] + scores
         context = jnp.einsum('bn,bnc->bc', scores, encoder_seq)
 
@@ -216,13 +222,16 @@ class Tacotron(nn.Module):
         self.encoder_proj_query = nn.Dense(self.decoder_dims, use_bias=False)
         self.encoder_proj = nn.Dense(self.decoder_dims, use_bias=False)
         self.decoder = Decoder(self.n_mels, self.decoder_dims, self.lstm_dims)
+        # reference hardcodes proj_channels=[256, 80] (tacotron.py:202);
+        # [256, n_mels] is identical at n_mels=80 and stays valid for other
+        # mel sizes (the residual add requires proj_channels[-1] == n_mels)
         self.postnet = CBHG(K=self.postnet_k, channels=self.postnet_dims,
-                            proj_channels=[256, 80],
+                            proj_channels=[256, self.n_mels],
                             num_highways=self.num_highways)
         self.post_proj = nn.Dense(self.n_mels, use_bias=False)
 
-    def _encode(self, x, speaker_emb, train):
-        encoder_seq = self.encoder(x, train)
+    def _encode(self, x, speaker_emb, train, x_lens=None):
+        encoder_seq = self.encoder(x, train, x_lens)
         if self.speaker_emb_dim > 0:
             tiled = jnp.broadcast_to(
                 speaker_emb[:, None, :],
@@ -244,7 +253,8 @@ class Tacotron(nn.Module):
 
     def __call__(self, batch: Dict[str, jnp.ndarray], r: int,
                  train: bool = False,
-                 prenet_dropout_on: Optional[bool] = None
+                 prenet_dropout_on: Optional[bool] = None,
+                 x_lens: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Teacher-forced forward (reference tacotron.py:219-281).
 
@@ -259,7 +269,10 @@ class Tacotron(nn.Module):
         if prenet_dropout_on is None:
             prenet_dropout_on = train
 
-        proj_query, proj = self._encode(x, batch.get('speaker_emb'), train)
+        proj_query, proj = self._encode(x, batch.get('speaker_emb'), train,
+                                        x_lens)
+        token_mask = None if x_lens is None else (
+            jnp.arange(n)[None, :] >= x_lens[:, None])
         carry0 = self._init_carry(b, n)
 
         steps = t // r
@@ -271,26 +284,23 @@ class Tacotron(nn.Module):
             jnp.swapaxes(mel[:, jnp.maximum(prev_idx, 0), :], 0, 1))
 
         if train:
-            rng = self.make_rng('zoneout')
-            zo_keys = jax.random.split(rng, steps * 2).reshape(steps, 2, 2)
+            rng = self.make_rng('dropout')
+            zo_keys = jax.vmap(
+                lambda k: jax.random.split(k, 2))(jax.random.split(rng, steps))
         else:
             zo_keys = jnp.zeros((steps, 2, 2), jnp.uint32)
 
-        decoder = self.decoder
+        def body(decoder, carry, xs):
+            prenet_in, zkeys = xs
+            return decoder(carry, prenet_in, proj_query, proj, r, train,
+                           prenet_dropout_on, zkeys if train else None,
+                           token_mask)
 
-        def step(carry, inputs):
-            prenet_in, zkeys = inputs
-            mels, scores, carry = decoder(
-                proj_query, proj, prenet_in, carry, r, train,
-                prenet_dropout_on, zkeys if train else None)
-            return carry, (mels, scores)
-
-        _, (mel_steps, attn) = nn.scan(
-            lambda mdl, c, xs: step(c, xs),
-            variable_broadcast='params',
-            split_rngs={'params': False, 'dropout': True},
-        )(self, carry0, (prenet_ins, zo_keys)) if False else \
-            jax.lax.scan(step, carry0, (prenet_ins, zo_keys))
+        scan = nn.scan(body, variable_broadcast='params',
+                       split_rngs={'params': False, 'dropout': True},
+                       in_axes=0, out_axes=0)
+        _, (mel_steps, attn) = scan(self.decoder, carry0,
+                                    (prenet_ins, zo_keys))
 
         # [S, B, n_mels, r] -> [B, T, n_mels]
         mel_out = jnp.transpose(mel_steps, (1, 0, 3, 2)).reshape(
@@ -314,16 +324,15 @@ class Tacotron(nn.Module):
                       prev_frame=jnp.zeros((b, self.n_mels)),
                       finished=jnp.zeros((b,), bool),
                       n_valid=jnp.zeros((b,), jnp.int32))
-        decoder = self.decoder
         n_steps = steps // r
 
-        def step(carry, t):
+        def body(decoder, carry, t):
             inner = {k: carry[k] for k in
                      ('attn_hidden', 'h1', 'c1', 'h2', 'c2', 'context',
                       'cumulative', 'attention')}
-            mels, scores, inner = decoder(proj_query, proj,
-                                          carry['prev_frame'], inner, r,
-                                          False, False, None)
+            inner, (mels, scores) = decoder(inner, carry['prev_frame'],
+                                            proj_query, proj, r,
+                                            False, False, None)
             silent = jnp.all(mels < self.stop_threshold, axis=(1, 2))
             newly_finished = silent & (t * r > 10)
             finished = carry['finished'] | newly_finished
@@ -334,8 +343,11 @@ class Tacotron(nn.Module):
                              finished=finished, n_valid=n_valid)
             return new_carry, (mels, scores)
 
-        final, (mel_steps, attn) = jax.lax.scan(
-            step, carry0, jnp.arange(n_steps))
+        scan = nn.scan(body, variable_broadcast='params',
+                       split_rngs={'params': False, 'dropout': False},
+                       in_axes=0, out_axes=0)
+        final, (mel_steps, attn) = scan(self.decoder, carry0,
+                                        jnp.arange(n_steps))
         mel_out = jnp.transpose(mel_steps, (1, 0, 3, 2)).reshape(
             b, n_steps * r, self.n_mels)
         attn = jnp.swapaxes(attn, 0, 1)

@@ -71,3 +71,19 @@ def length_regulator_gather(x: jnp.ndarray,
 def expanded_lengths(dur: jnp.ndarray) -> jnp.ndarray:
     """Total expanded frames per item: sum of rounded durations."""
     return jnp.sum(round_durations(dur), axis=1)
+
+
+def length_regulator_auto(x: jnp.ndarray, dur: jnp.ndarray,
+                          max_len: int) -> jnp.ndarray:
+    """Backend-aware dispatch: the fused Pallas kernel on TPU (the selection
+    tensor never touches HBM), the XLA einsum elsewhere. Opt out with
+    FTT_PALLAS_LR=0."""
+    import os
+
+    import jax
+    if (os.environ.get('FTT_PALLAS_LR', '1') != '0'
+            and jax.default_backend() == 'tpu'):
+        from forwardtacotron_tpu.ops.pallas.length_regulator import \
+            length_regulator_pallas
+        return length_regulator_pallas(x, dur, max_len)
+    return length_regulator(x, dur, max_len)

@@ -1,0 +1,69 @@
+"""Fused Pallas TPU kernel for the length regulator.
+
+The XLA formulation (ops/length_regulator.py) materializes the [B, T, N]
+one-hot selection tensor in HBM before the matmul. This kernel builds each
+[T_TILE, N] selection tile in VMEM with a broadcasted iota + two compares
+and feeds it straight to the MXU — the selection tensor never touches HBM,
+so the op is bounded by reading x once and writing the output once.
+
+Grid: (B, T / T_TILE). Per program: out[b, t0:t0+T_TILE, :] =
+onehot(t in [starts[b], ends[b])) @ x[b].
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from forwardtacotron_tpu.ops.length_regulator import duration_spans
+
+T_TILE = 256
+
+
+def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref):
+    t0 = pl.program_id(1) * T_TILE
+    n = x_ref.shape[1]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, n), 0) + t0
+    starts = starts_ref[0, :][None, :]
+    ends = ends_ref[0, :][None, :]
+    sel = ((t_ids >= starts) & (t_ids < ends)).astype(x_ref.dtype)
+    out_ref[0] = jnp.dot(sel, x_ref[0], preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=('max_len', 'interpret'))
+def length_regulator_pallas(x: jnp.ndarray,
+                            dur: jnp.ndarray,
+                            max_len: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """[B, N, C] tokens + [B, N] durations -> [B, max_len, C] frames.
+
+    ``max_len`` must be a multiple of T_TILE (synthesis buckets are multiples
+    of 128; pad and crop otherwise). Identical output to
+    ops.length_regulator.length_regulator.
+    """
+    b, n, c = x.shape
+    if max_len % T_TILE != 0:
+        padded = ((max_len + T_TILE - 1) // T_TILE) * T_TILE
+        return length_regulator_pallas(x, dur, padded,
+                                       interpret=interpret)[:, :max_len]
+    starts, ends = duration_spans(dur)
+
+    return pl.pallas_call(
+        _lr_kernel,
+        grid=(b, max_len // T_TILE),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_TILE, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, max_len, c), x.dtype),
+        interpret=interpret,
+    )(starts, ends, x)

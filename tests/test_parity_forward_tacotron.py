@@ -109,6 +109,42 @@ def test_generate_parity(models_and_vars):
     np.testing.assert_allclose(got_post, ref_post, rtol=1e-3, atol=1e-3)
 
 
+def test_generate_parity_with_trained_batchnorm_stats():
+    """Random-init BN stats (mean 0, var 1) make BN(0)=0 and hide padded-tail
+    leakage through conv look-ahead taps; perturb the running stats to
+    simulate a trained checkpoint and require generate parity to hold."""
+    import torch
+    from models.forward_tacotron import ForwardTacotron as TorchFT
+
+    from forwardtacotron_tpu.models.forward_tacotron import (
+        ForwardTacotron, ForwardTacotronInference)
+    from forwardtacotron_tpu.utils.convert import convert_state_dict
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config(str(REFERENCE_ROOT / 'configs' / 'singlespeaker.yaml'))
+    torch.manual_seed(3)
+    torch_model = TorchFT.from_config(config).eval()
+    with torch.no_grad():
+        for mod in torch_model.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+
+    jax_model = ForwardTacotron.from_config(config)
+    variables, _ = convert_state_dict(torch_model.state_dict())
+
+    rs = np.random.RandomState(7)
+    x = rs.randint(1, 100, (1, 21)).astype(np.int64)
+    with torch.no_grad():
+        ref = torch_model.generate(torch.tensor(x))
+    out = ForwardTacotronInference(jax_model, variables).generate(x)
+
+    ref_post = ref['mel_post'].numpy()
+    L = ref_post.shape[-1]
+    got_post = np.asarray(out['mel_post'])[:, :L, :].transpose(0, 2, 1)
+    np.testing.assert_allclose(got_post, ref_post, rtol=1e-3, atol=1e-3)
+
+
 def test_training_forward_parity(models_and_vars):
     import torch
     torch_model, jax_model, variables = models_and_vars
