@@ -74,6 +74,10 @@ class HighwayNetwork(nn.Module):
 
 # ----------------------------------------------------------------------- RNNs
 
+# Unrolling the recurrent scan amortizes XLA's while-loop overhead on TPU;
+# identical numerics (same op order), ~code-size/compile-time tradeoff.
+SCAN_UNROLL = 8
+
 
 def flip_sequences(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Reverse along time; with ``lengths`` only the valid prefix is reversed
@@ -128,7 +132,8 @@ class GRU(nn.Module):
             return hnew, hnew
 
         h0 = jnp.zeros((x.shape[0], h), x.dtype)
-        _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1))
+        _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1),
+                             unroll=SCAN_UNROLL)
         hs = jnp.swapaxes(hs, 0, 1)
 
         if self.reverse:
@@ -175,7 +180,8 @@ class LSTM(nn.Module):
             return (hnew, c), hnew
 
         h0 = jnp.zeros((x.shape[0], h), x.dtype)
-        (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xproj, 0, 1))
+        (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xproj, 0, 1),
+                                  unroll=SCAN_UNROLL)
         hs = jnp.swapaxes(hs, 0, 1)
 
         if self.reverse:

@@ -23,11 +23,14 @@ T_TILE = 256
 
 
 def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref):
+    b = pl.program_id(0)
     t0 = pl.program_id(1) * T_TILE
     n = x_ref.shape[1]
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, n), 0) + t0
-    starts = starts_ref[0, :][None, :]
-    ends = ends_ref[0, :][None, :]
+    # starts/ends are unblocked [B, N] in VMEM (a (1, N) block would violate
+    # the 8x128 tiling constraint); index the batch row here instead
+    starts = starts_ref[b, :][None, :]
+    ends = ends_ref[b, :][None, :]
     sel = ((t_ids >= starts) & (t_ids < ends)).astype(x_ref.dtype)
     out_ref[0] = jnp.dot(sel, x_ref[0], preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
@@ -55,10 +58,8 @@ def length_regulator_pallas(x: jnp.ndarray,
         _lr_kernel,
         grid=(b, max_len // T_TILE),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
