@@ -35,8 +35,17 @@ class TTSInference:
     """
 
     def __init__(self, model, variables: Dict[str, Any],
-                 multispeaker: Optional[bool] = None):
+                 multispeaker: Optional[bool] = None,
+                 dtype: str = 'float32'):
+        """``dtype='bfloat16'`` casts parameters (and therefore activations)
+        to bf16 for ~2x MXU/bandwidth throughput at a small accuracy cost —
+        keep float32 when bit-level parity with the reference matters."""
         self.model = model
+        if dtype == 'bfloat16':
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
+                variables)
         self.variables = variables
         if multispeaker is None:
             multispeaker = 'speaker_emb_dims' in type(model).__annotations__ \
@@ -51,6 +60,11 @@ class TTSInference:
             self._predict = jax.jit(
                 lambda v, x, alpha: model.apply(
                     v, x, alpha, method=type(model).predict_series))
+        # one fused dispatch for the host-visible frame counts: eager
+        # elementwise chains cost several kernel launches per call
+        self._lengths = jax.jit(
+            lambda d: (expanded_lengths(d),
+                       jnp.max(expanded_lengths(d))))
         self._decode_cache: Dict[int, Callable] = {}
 
     def _get_decode(self, max_len: int) -> Callable:
@@ -88,8 +102,8 @@ class TTSInference:
         pitch = jnp.asarray(pitch_function(series['pitch']))
         energy = jnp.asarray(energy_function(series['energy']))
 
-        mel_lens = expanded_lengths(dur)
-        max_len = bucket_frames(int(jnp.max(mel_lens)))
+        mel_lens, max_frames = self._lengths(dur)
+        max_len = bucket_frames(int(max_frames))
         decode = self._get_decode(max_len)
         if self.multispeaker:
             out = decode(self.variables, x, semb, dur, pitch, energy,
@@ -98,6 +112,54 @@ class TTSInference:
             out = decode(self.variables, x, dur, pitch, energy)
         out['mel_len'] = mel_lens
         return out
+
+    def _get_fused(self, max_len: int) -> Callable:
+        """Single-dispatch serving path: series prediction + decode fused in
+        one jit at a fixed frame budget — zero host round-trips per call
+        (the two-phase path needs one device->host sync to pick the bucket,
+        which costs a full relay round trip on pooled TPUs)."""
+        key = ('fused', max_len)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            model = self.model
+            if self.multispeaker:
+                def fused(v, x, semb, alpha):
+                    s = model.apply(v, x, semb, alpha,
+                                    method=type(model).predict_series)
+                    out = model.apply(v, x, semb, s['dur'], s['pitch'],
+                                      s['energy'], s['pitch_cond'], max_len,
+                                      method=type(model).generate)
+                    out['mel_len'] = expanded_lengths(s['dur'])
+                    return out
+            else:
+                def fused(v, x, alpha):
+                    s = model.apply(v, x, alpha,
+                                    method=type(model).predict_series)
+                    out = model.apply(v, x, s['dur'], s['pitch'],
+                                      s['energy'], max_len,
+                                      method=type(model).generate)
+                    out['mel_len'] = expanded_lengths(s['dur'])
+                    return out
+            fn = jax.jit(fused)
+            self._decode_cache[key] = fn
+        return fn
+
+    def generate_fused(self, x, max_len: int,
+                       speaker_emb=None,
+                       alpha: float = 1.0) -> Dict[str, Array]:
+        """Serving-mode synthesis with a fixed frame budget ``max_len``:
+        one compiled executable, one dispatch, no host synchronization.
+        Durations that would exceed the budget are cropped."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None, :]
+        fn = self._get_fused(max_len)
+        if self.multispeaker:
+            semb = jnp.asarray(speaker_emb)
+            if semb.ndim == 1:
+                semb = semb[None, :]
+            return fn(self.variables, x, semb, alpha)
+        return fn(self.variables, x, alpha)
 
     def generate_cropped(self, x, **kwargs) -> Dict[str, np.ndarray]:
         """Single-utterance convenience: crops outputs to the true length and
