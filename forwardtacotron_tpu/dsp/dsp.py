@@ -72,8 +72,7 @@ class DSP:
     # ------------------------------------------------------------------ wav io
 
     def load_wav(self, path: Union[str, Path]) -> np.ndarray:
-        from scipy.io import wavfile
-        sr, wav = wavfile.read(str(path))
+        sr, wav = _read_audio(path)
         if wav.dtype == np.int16:
             wav = wav.astype(np.float32) / 32768.0
         elif wav.dtype == np.int32:
@@ -216,6 +215,23 @@ class DSP:
                 return np.ones(len(frames))
             db = 20.0 * np.log10(np.maximum(rms, 1e-10) / ref)
             return (db > -40.0).astype(float)
+
+
+def _read_audio(path: Union[str, Path]):
+    """Read an audio file: scipy for .wav, soundfile (if installed) for
+    everything else (e.g. VCTK's .flac)."""
+    path = str(path)
+    if path.lower().endswith('.wav'):
+        from scipy.io import wavfile
+        return wavfile.read(path)
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise RuntimeError(
+            f'Reading {path} requires the soundfile package '
+            '(only .wav is supported without it)') from e
+    wav, sr = sf.read(path, dtype='float32')
+    return sr, wav
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

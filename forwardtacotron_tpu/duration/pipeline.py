@@ -150,7 +150,12 @@ class DurationExtractionPipeline:
 
         results = []
         if num_workers and num_workers > 1:
+            import multiprocessing
+            # spawn: forking after the JAX runtime started its thread pools
+            # can deadlock the children
+            ctx = multiprocessing.get_context('spawn')
             with ProcessPoolExecutor(max_workers=num_workers,
+                                     mp_context=ctx,
                                      initializer=_init_worker,
                                      initargs=init_args) as pool:
                 results = list(pool.map(_extract_one, items, chunksize=4))

@@ -36,22 +36,12 @@ def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref):
                          ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=('max_len', 'interpret'))
-def length_regulator_pallas(x: jnp.ndarray,
-                            dur: jnp.ndarray,
-                            max_len: int,
-                            interpret: bool = False) -> jnp.ndarray:
-    """[B, N, C] tokens + [B, N] durations -> [B, max_len, C] frames.
-
-    ``max_len`` must be a multiple of T_TILE (synthesis buckets are multiples
-    of 128; pad and crop otherwise). Identical output to
-    ops.length_regulator.length_regulator.
-    """
+def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
+                 interpret: bool) -> jnp.ndarray:
     b, n, c = x.shape
     if max_len % T_TILE != 0:
         padded = ((max_len + T_TILE - 1) // T_TILE) * T_TILE
-        return length_regulator_pallas(x, dur, padded,
-                                       interpret=interpret)[:, :max_len]
+        return _pallas_impl(x, dur, padded, interpret)[:, :max_len]
     starts, ends = duration_spans(dur)
 
     return pl.pallas_call(
@@ -68,3 +58,40 @@ def length_regulator_pallas(x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, max_len, c), x.dtype),
         interpret=interpret,
     )(starts, ends, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lr_pallas(x, dur, max_len, interpret):
+    return _pallas_impl(x, dur, max_len, interpret)
+
+
+def _lr_pallas_fwd(x, dur, max_len, interpret):
+    return _pallas_impl(x, dur, max_len, interpret), dur
+
+
+def _lr_pallas_bwd(max_len, interpret, dur, g):
+    # dL/dx[b,n] = sum over the frames token n was copied to; plain XLA
+    # einsum (pallas_call has no autodiff rule). Durations are rounded to
+    # integer repeats, so their gradient is zero (reference semantics).
+    starts, ends = duration_spans(dur)
+    t = jnp.arange(g.shape[1], dtype=jnp.int32)
+    sel = ((t[None, :, None] >= starts[:, None, :])
+           & (t[None, :, None] < ends[:, None, :])).astype(g.dtype)
+    dx = jnp.einsum('btn,btc->bnc', sel, g)
+    return dx, jnp.zeros_like(dur)
+
+
+_lr_pallas.defvjp(_lr_pallas_fwd, _lr_pallas_bwd)
+
+
+@partial(jax.jit, static_argnames=('max_len', 'interpret'))
+def length_regulator_pallas(x: jnp.ndarray,
+                            dur: jnp.ndarray,
+                            max_len: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """[B, N, C] tokens + [B, N] durations -> [B, max_len, C] frames.
+
+    Differentiable w.r.t. ``x`` via a custom VJP (XLA einsum backward);
+    identical output to ops.length_regulator.length_regulator.
+    """
+    return _lr_pallas(x, dur, max_len, interpret)

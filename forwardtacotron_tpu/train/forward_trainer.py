@@ -254,9 +254,30 @@ class ForwardTrainer:
 
         return train_step
 
+    def _get_eval_step(self, model):
+        key = ('eval', id(model))
+        if key not in self._step_fns:
+            @jax.jit
+            def eval_step(variables, batch):
+                out = model.apply(variables, batch, train=False)
+                return {
+                    'Mel_Loss':
+                        masked_l1(out['mel'], batch['mel'], batch['mel_len'])
+                        + masked_l1(out['mel_post'], batch['mel'],
+                                    batch['mel_len']),
+                    'Duration_Loss': masked_l1(out['dur'], batch['dur'],
+                                               batch['x_len']),
+                    'Pitch_Loss': masked_l1(out['pitch'], batch['pitch'],
+                                            batch['x_len']),
+                    'Energy_Loss': masked_l1(out['energy'], batch['energy'],
+                                             batch['x_len']),
+                }
+            self._step_fns[key] = eval_step
+        return self._step_fns[key]
+
     def evaluate(self, model, state: TrainState, val_set) -> Dict[str, float]:
-        sums = {'Mel_Loss': 0.0, 'Duration_Loss': 0.0, 'Pitch_Loss': 0.0,
-                'Energy_Loss': 0.0}
+        eval_step = self._get_eval_step(model)
+        sums: Dict[str, float] = {}
         n = 0
         for batch in val_set:
             batch = dict(batch)
@@ -265,16 +286,9 @@ class ForwardTrainer:
             batch = pad_batch_to_devices(batch, self.mesh)
             device_batch = shard_batch(
                 {k: batch[k] for k in BATCH_KEYS if k in batch}, self.mesh)
-            out = model.apply(state.variables(), device_batch, train=False)
-            sums['Mel_Loss'] += float(
-                masked_l1(out['mel'], device_batch['mel'], device_batch['mel_len'])
-                + masked_l1(out['mel_post'], device_batch['mel'], device_batch['mel_len']))
-            sums['Duration_Loss'] += float(masked_l1(
-                out['dur'], device_batch['dur'], device_batch['x_len']))
-            sums['Pitch_Loss'] += float(masked_l1(
-                out['pitch'], device_batch['pitch'], device_batch['x_len']))
-            sums['Energy_Loss'] += float(masked_l1(
-                out['energy'], device_batch['energy'], device_batch['x_len']))
+            metrics = eval_step(state.variables(), device_batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
 
@@ -355,3 +369,31 @@ class MultiForwardTrainer(ForwardTrainer):
             self.checkpoint_meta = {'speaker_embeddings': embeddings}
         except FileNotFoundError:
             self.checkpoint_meta = {}
+
+    @ignore_exception
+    def generate_plots(self, model, state, session) -> None:
+        """Adds per-speaker free-running generations on top of the base plots
+        (reference trainer/multi_forward_trainer.py:217-243)."""
+        super().generate_plots(model, state, session)
+        embeddings = self.checkpoint_meta.get('speaker_embeddings', {})
+        if not embeddings:
+            return
+        wanted = list(self.train_cfg.get('plot_speakers', []))
+        n_extra = int(self.train_cfg.get('plot_n_speakers', 0))
+        for speaker in embeddings:
+            if len(wanted) >= len(set(wanted)) + n_extra:
+                break
+            if speaker not in wanted:
+                wanted.append(speaker)
+
+        step = int(state.step)
+        sample = session.val_sample
+        x = np.asarray(sample['x'][0])
+        inference = TTSInference(model, state.variables(), multispeaker=True)
+        for speaker in wanted:
+            if speaker not in embeddings:
+                continue
+            gen = inference.generate_cropped(
+                x, speaker_emb=np.asarray(embeddings[speaker]))
+            self.writer.add_figure(f'Generated_Speakers/{speaker}',
+                                   plot_mel(gen['mel_post']), step)

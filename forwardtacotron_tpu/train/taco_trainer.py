@@ -170,19 +170,28 @@ class TacoTrainer:
 
         return train_step
 
+    def _get_eval_step(self, model, r: int):
+        key = ('eval', id(model), r)
+        if key not in self._step_fns:
+            @jax.jit
+            def eval_step(variables, batch):
+                mel_out, linear, _ = model.apply(variables, batch,
+                                                 r=r, train=False)
+                return (jnp.mean(jnp.abs(mel_out - batch['mel']))
+                        + jnp.mean(jnp.abs(linear - batch['mel'])))
+            self._step_fns[key] = eval_step
+        return self._step_fns[key]
+
     def evaluate(self, model, state: TrainState, val_set, r: int) -> float:
+        eval_step = self._get_eval_step(model, r)
         total, n = 0.0, 0
         for batch in val_set:
             batch = pad_batch_to_devices(dict(batch), self.mesh)
             device_batch = shard_batch(
                 {k: batch[k] for k in BATCH_KEYS if k in batch}, self.mesh)
-            t = device_batch['mel'].shape[1]
-            if t % r != 0:
+            if device_batch['mel'].shape[1] % r != 0:
                 continue
-            mel_out, linear, _ = model.apply(state.variables(), device_batch,
-                                             r=r, train=False)
-            total += float(jnp.mean(jnp.abs(mel_out - device_batch['mel']))
-                           + jnp.mean(jnp.abs(linear - device_batch['mel'])))
+            total += float(eval_step(state.variables(), device_batch))
             n += 1
         return total / max(n, 1)
 
