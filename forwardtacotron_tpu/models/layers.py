@@ -91,104 +91,6 @@ def flip_sequences(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarra
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
-class GRU(nn.Module):
-    """Unidirectional GRU with PyTorch gate layout (r, z, n).
-
-    Input projection for the full sequence is a single [B,T,I]x[I,3H] GEMM;
-    the scan body only computes the [H,3H] recurrent GEMM per step.
-    """
-    hidden: int
-    reverse: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        in_dim = x.shape[-1]
-        h = self.hidden
-        scale = 1.0 / math.sqrt(h)
-        init = nn.initializers.uniform(scale=2 * scale)
-
-        def uinit(key, shape, dtype=jnp.float32):
-            return init(key, shape, dtype) - scale
-
-        wi = self.param('wi', uinit, (in_dim, 3 * h))
-        wh = self.param('wh', uinit, (h, 3 * h))
-        bi = self.param('bi', uinit, (3 * h,))
-        bh = self.param('bh', uinit, (3 * h,))
-
-        if self.reverse:
-            x = flip_sequences(x, lengths)
-
-        xproj = x @ wi + bi  # [B, T, 3H]
-
-        def step(hprev, xp):
-            hproj = hprev @ wh + bh
-            xr, xz, xn = jnp.split(xp, 3, axis=-1)
-            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            hnew = (1.0 - z) * n + z * hprev
-            return hnew, hnew
-
-        h0 = jnp.zeros((x.shape[0], h), x.dtype)
-        _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1),
-                             unroll=SCAN_UNROLL)
-        hs = jnp.swapaxes(hs, 0, 1)
-
-        if self.reverse:
-            hs = flip_sequences(hs, lengths)
-        return hs
-
-
-class LSTM(nn.Module):
-    """Unidirectional LSTM with PyTorch gate layout (i, f, g, o)."""
-    hidden: int
-    reverse: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        in_dim = x.shape[-1]
-        h = self.hidden
-        scale = 1.0 / math.sqrt(h)
-        init = nn.initializers.uniform(scale=2 * scale)
-
-        def uinit(key, shape, dtype=jnp.float32):
-            return init(key, shape, dtype) - scale
-
-        wi = self.param('wi', uinit, (in_dim, 4 * h))
-        wh = self.param('wh', uinit, (h, 4 * h))
-        bi = self.param('bi', uinit, (4 * h,))
-        bh = self.param('bh', uinit, (4 * h,))
-
-        if self.reverse:
-            x = flip_sequences(x, lengths)
-
-        xproj = x @ wi + bi
-
-        def step(carry, xp):
-            hprev, cprev = carry
-            gates = xp + hprev @ wh + bh
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i = jax.nn.sigmoid(i)
-            f = jax.nn.sigmoid(f)
-            g = jnp.tanh(g)
-            o = jax.nn.sigmoid(o)
-            c = f * cprev + i * g
-            hnew = o * jnp.tanh(c)
-            return (hnew, c), hnew
-
-        h0 = jnp.zeros((x.shape[0], h), x.dtype)
-        (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xproj, 0, 1),
-                                  unroll=SCAN_UNROLL)
-        hs = jnp.swapaxes(hs, 0, 1)
-
-        if self.reverse:
-            hs = flip_sequences(hs, lengths)
-        return hs
-
-
 class _RNNDirParams(nn.Module):
     """Parameter holder for one RNN direction (wi/wh/bi/bh, torch layout)."""
     hidden: int
