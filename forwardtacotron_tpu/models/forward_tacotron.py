@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from forwardtacotron_tpu.models.layers import (CBHG, BatchNormConv, BiGRU,
-                                               BiLSTM, make_len_mask)
+                                               BiLSTM, make_len_mask,
+                                               multi_bigru)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
                                                       length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
@@ -29,23 +30,36 @@ PAD_VALUE = -11.5129
 
 class SeriesPredictor(nn.Module):
     """Duration/pitch/energy predictor: embed -> 3x(conv+BN+dropout) -> biGRU
-    -> linear (reference forward_tacotron.py:14-39)."""
+    -> linear (reference forward_tacotron.py:14-39).
+
+    Split into ``features`` (conv stack) and ``head`` (output linear) so the
+    serving path can fuse the three predictors' GRUs — plus the prenet's —
+    into one scan (see :func:`multi_bigru`)."""
     num_chars: int
     emb_dim: int = 64
     conv_dims: int = 256
     rnn_dims: int = 64
     dropout: float = 0.5
 
-    @nn.compact
+    def setup(self):
+        self.embedding = nn.Embed(self.num_chars, self.emb_dim)
+        self.convs = [BatchNormConv(self.conv_dims, 5) for _ in range(3)]
+        self.rnn = BiGRU(self.rnn_dims, in_dim=self.conv_dims)
+        self.lin = nn.Dense(1)
+        self.drop = nn.Dropout(self.dropout)
+
+    def features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self.embedding(x)
+        for conv in self.convs:
+            x = self.drop(conv(x, train), deterministic=not train)
+        return x
+
+    def head(self, rnn_out: jnp.ndarray, alpha: float = 1.0) -> jnp.ndarray:
+        return self.lin(rnn_out) / alpha
+
     def __call__(self, x: jnp.ndarray, alpha: float = 1.0,
                  train: bool = False) -> jnp.ndarray:
-        x = nn.Embed(self.num_chars, self.emb_dim, name='embedding')(x)
-        for i in range(3):
-            x = BatchNormConv(self.conv_dims, 5, name=f'convs_{i}')(x, train)
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = BiGRU(self.rnn_dims, name='rnn')(x)
-        x = nn.Dense(1, name='lin')(x)
-        return x / alpha
+        return self.head(self.rnn(self.features(x, train)), alpha)
 
 
 class ForwardTacotron(nn.Module):
@@ -158,6 +172,41 @@ class ForwardTacotron(nn.Module):
         return {'mel': mel, 'mel_post': mel_post, 'dur': dur_hat,
                 'pitch': pitch_hat, 'energy': energy_hat}
 
+    def generate_combined(self, x: jnp.ndarray, max_len: int,
+                          alpha: float = 1.0) -> Dict[str, jnp.ndarray]:
+        """Single-dispatch serving path: series prediction + decode in one
+        traced graph, with the four independent token-level recurrences
+        (dur/pitch/energy predictor GRUs + prenet GRU) fused into ONE scan
+        via block-diagonal recurrent weights (:func:`multi_bigru`).
+        Numerically identical to ``predict_series`` + ``generate``."""
+        dur_feat = self.dur_pred.features(x)
+        pitch_feat = self.pitch_pred.features(x)
+        energy_feat = self.energy_pred.features(x)
+        pre_feat = self.prenet.pre_rnn(self.embedding(x))
+
+        dur_rnn, pitch_rnn, energy_rnn, pre_out = multi_bigru([
+            (dur_feat, None, self.dur_pred.rnn.dir_params(),
+             self.durpred_rnn_dims),
+            (pitch_feat, None, self.pitch_pred.rnn.dir_params(),
+             self.pitch_rnn_dims),
+            (energy_feat, None, self.energy_pred.rnn.dir_params(),
+             self.energy_rnn_dims),
+            (pre_feat, None, self.prenet.rnn.dir_params(),
+             self.prenet_dims),
+        ])
+
+        dur_hat = self.dur_pred.head(dur_rnn, alpha)[..., 0]
+        total = jnp.sum(jnp.trunc(dur_hat).astype(jnp.int32))
+        dur_hat = jnp.where(total <= 0, jnp.full_like(dur_hat, 2.0), dur_hat)
+        pitch_hat = self.pitch_pred.head(pitch_rnn)[..., 0]
+        energy_hat = self.energy_pred.head(energy_rnn)[..., 0]
+
+        mel, mel_post = self._decode_post_prenet(
+            pre_out, dur=dur_hat, pitch=pitch_hat, energy=energy_hat,
+            max_len=max_len, mel_lens=None, train=False)
+        return {'mel': mel, 'mel_post': mel_post, 'dur': dur_hat,
+                'pitch': pitch_hat, 'energy': energy_hat}
+
     def _decode(self, x: jnp.ndarray, dur: jnp.ndarray,
                 pitch: jnp.ndarray, energy: jnp.ndarray,
                 max_len: int, mel_lens: Optional[jnp.ndarray],
@@ -174,7 +223,14 @@ class ForwardTacotron(nn.Module):
         """
         h = self.embedding(x)
         h = self.prenet(h, train=train)
+        return self._decode_post_prenet(h, dur=dur, pitch=pitch,
+                                        energy=energy, max_len=max_len,
+                                        mel_lens=mel_lens, train=train)
 
+    def _decode_post_prenet(self, h: jnp.ndarray, dur: jnp.ndarray,
+                            pitch: jnp.ndarray, energy: jnp.ndarray,
+                            max_len: int, mel_lens: Optional[jnp.ndarray],
+                            train: bool):
         pitch_proj = self.pitch_proj(pitch[:, :, None])
         h = h + pitch_proj * self.pitch_strength
         energy_proj = self.energy_proj(energy[:, :, None])
@@ -194,7 +250,7 @@ class ForwardTacotron(nn.Module):
             batch_max = jnp.max(mel_lens)
             beyond = (jnp.arange(max_len) >= batch_max)[None, :, None]
             post_in = jnp.where(beyond, 0.0, raw)
-            post_lens = jnp.full((x.shape[0],), batch_max)
+            post_lens = jnp.full((h.shape[0],), batch_max)
             post = self.postnet(post_in, train=train, lengths=post_lens)
             mel = jnp.where(beyond, self.padding_value, raw)
             mel_post = jnp.where(beyond, self.padding_value,

@@ -117,7 +117,18 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
     second 'direction' batch axis, halving the sequential depth (the usual
     two-scan formulation serializes 2T cell steps; this does T). Identical
     per-direction numerics — each direction keeps its own weights via a
-    batched [2, H, G] contraction."""
+    batched [2, H, G] contraction.
+
+    On TPU, inference paths that opt in (ops.pallas.rnn.pallas_rnns) and
+    meet the tiling constraints dispatch to the fused Pallas kernel, which
+    keeps weights VMEM-resident and computes the input projection in-kernel
+    instead of materializing [T, B, 2, G] in HBM."""
+    from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
+    if pallas_rnn.eligible(x.dtype, x.shape[-1], hidden):
+        return pallas_rnn.bidir_rnn_pallas(
+            x, lengths, fwd_params, bwd_params, hidden,
+            cell='lstm' if n_carry == 2 else 'gru')
+
     wi_f, wh_f, bi_f, bh_f = fwd_params
     wi_b, wh_b, bi_b, bh_b = bwd_params
     b = x.shape[0]
@@ -168,15 +179,101 @@ def _lstm_step(carry, xp_t, wh, bh):
 
 
 class BiGRU(nn.Module):
+    """Bidirectional GRU. ``in_dim`` is optional; when set, ``dir_params()``
+    exposes the raw gate weights so several independent BiGRUs can be fused
+    into one scan by :func:`multi_bigru` (the single-dispatch serving path)."""
     hidden: int
+    in_dim: Optional[int] = None
 
-    @nn.compact
+    def setup(self):
+        self.fwd = _RNNDirParams(self.hidden, 3)
+        self.bwd = _RNNDirParams(self.hidden, 3)
+
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_dim = x.shape[-1]
-        fwd = _RNNDirParams(self.hidden, 3, name='fwd')(in_dim)
-        bwd = _RNNDirParams(self.hidden, 3, name='bwd')(in_dim)
-        return _bidir_scan(x, lengths, fwd, bwd, _gru_step, self.hidden, 1)
+        return _bidir_scan(x, lengths, self.fwd(in_dim), self.bwd(in_dim),
+                           _gru_step, self.hidden, 1)
+
+    def dir_params(self):
+        """(fwd, bwd) gate weights, each (wi, wh, bi, bh). Requires ``in_dim``
+        (param shapes must be known without an input)."""
+        if self.in_dim is None:
+            raise ValueError('BiGRU.dir_params() requires in_dim to be set')
+        return self.fwd(self.in_dim), self.bwd(self.in_dim)
+
+
+def multi_bigru(entries) -> list:
+    """Run several independent bidirectional GRUs as ONE `lax.scan`.
+
+    ``entries``: list of ``(x [B,T,in_i], lengths_i or None,
+    (fwd_params, bwd_params), hidden_i)``. Returns a list of
+    ``[B, T, 2*hidden_i]`` outputs, numerically identical to calling each
+    BiGRU separately.
+
+    TPU rationale: XLA executes separate scans serially, so k token-level
+    GRUs cost k*T sequential cell steps. Concatenating hidden states and
+    making the recurrent weight block-diagonal (zeros off-block contribute
+    exact 0.0 to each gate) turns that into T steps of one larger GEMM —
+    fewer, bigger MXU dispatches and 1/k the sequential depth."""
+    hiddens = [e[3] for e in entries]
+    H = sum(hiddens)
+    offs = np.concatenate([[0], np.cumsum(hiddens)])
+    b = entries[0][0].shape[0]
+    dtype = entries[0][0].dtype
+
+    # per-GRU full-sequence input projections (parallel, MXU-friendly)
+    xps = []
+    for x, lens, (fwd, bwd), h in entries:
+        wi_f, _, bi_f, _ = fwd
+        wi_b, _, bi_b, _ = bwd
+        xps.append((x @ wi_f + bi_f,
+                    flip_sequences(x, lens) @ wi_b + bi_b))
+
+    def regroup(d):  # concat per gate across GRUs -> [B, T, 3H]
+        return jnp.concatenate(
+            [jnp.concatenate([xps[i][d][..., g * h:(g + 1) * h]
+                              for i, h in enumerate(hiddens)], axis=-1)
+             for g in range(3)], axis=-1)
+
+    # block-diagonal recurrent weights, one [2, H, 3H] batched contraction
+    wh_comb = jnp.zeros((2, H, 3 * H), dtype)
+    bh_comb = jnp.zeros((2, 3 * H), dtype)
+    for i, (x, lens, dirs, h) in enumerate(entries):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        for d in range(2):
+            _, wh, _, bh = dirs[d]
+            for g in range(3):
+                wh_comb = wh_comb.at[d, lo:hi,
+                                     g * H + lo:g * H + hi].set(
+                    wh[:, g * h:(g + 1) * h])
+                bh_comb = bh_comb.at[d, g * H + lo:g * H + hi].set(
+                    bh[g * h:(g + 1) * h])
+
+    from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
+    if pallas_rnn.eligible(dtype, 16, H):
+        hs, b_true = pallas_rnn.gru_from_xp_pallas(
+            regroup(0), regroup(1), wh_comb, bh_comb, H)
+        hs = jnp.transpose(hs, (2, 0, 1, 3))[:b_true]    # [B, T, 2, H]
+    else:
+        xp = jnp.stack([regroup(0), regroup(1)], axis=2)  # [B, T, 2, 3H]
+        xp = jnp.swapaxes(xp, 0, 1)
+        xp = jax.lax.optimization_barrier(xp)
+
+        def step(carry, xp_t):
+            return _gru_step(carry, xp_t, wh_comb, bh_comb)
+
+        zeros = jnp.zeros((b, 2, H), dtype)
+        _, hs = jax.lax.scan(step, (zeros,), xp, unroll=SCAN_UNROLL)
+        hs = jnp.swapaxes(hs, 0, 1)                      # [B, T, 2, H]
+
+    outs = []
+    for i, (x, lens, dirs, h) in enumerate(entries):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        fwd_out = hs[:, :, 0, lo:hi]
+        bwd_out = flip_sequences(hs[:, :, 1, lo:hi], lens)
+        outs.append(jnp.concatenate([fwd_out, bwd_out], axis=-1))
+    return outs
 
 
 class BiLSTM(nn.Module):
@@ -207,14 +304,65 @@ def maxpool_time(x: jnp.ndarray) -> jnp.ndarray:
 
 class CBHG(nn.Module):
     """Conv bank (k=1..K) -> maxpool -> 2 projections -> residual -> highway
-    stack -> bidirectional GRU (reference common_layers.py:60-124)."""
+    stack -> bidirectional GRU (reference common_layers.py:60-124).
+
+    Setup-style so the serving path can run ``pre_rnn`` (everything before the
+    GRU) and fuse the GRU itself into a combined scan via
+    :func:`multi_bigru` + ``self.rnn.dir_params()``."""
     K: int
     channels: int
     proj_channels: Sequence[int]
     num_highways: int
     dropout: float = 0.5
 
-    @nn.compact
+    def setup(self):
+        # attribute/list names are chosen so the parameter tree is identical
+        # to the reference layout (conv1d_bank_{k-1}, conv_project1/2,
+        # pre_highway, highways_{i}, rnn)
+        self.conv1d_bank = [BatchNormConv(self.channels, k)
+                            for k in range(1, self.K + 1)]
+        self.conv_project1 = BatchNormConv(self.proj_channels[0], 3)
+        self.conv_project2 = BatchNormConv(self.proj_channels[1], 3,
+                                           relu=False)
+        self.pre_highway = nn.Dense(self.channels, use_bias=False)
+        self.highways = [HighwayNetwork(self.channels)
+                         for _ in range(self.num_highways)]
+        self.rnn = BiGRU(self.channels, in_dim=self.channels)
+        self.drop = nn.Dropout(self.dropout)
+
+    def pre_rnn(self, x: jnp.ndarray, train: bool = False,
+                lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Everything before the bidirectional GRU; see ``__call__`` for the
+        ``lengths`` semantics."""
+        tail = None
+        if lengths is not None:
+            tail = (jnp.arange(x.shape[1])[None, :]
+                    >= lengths[:, None])[:, :, None]
+            x = jnp.where(tail, 0.0, x)
+        residual = x
+        t = x.shape[1]
+
+        bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
+        x = jnp.concatenate(bank, axis=-1)
+
+        x = maxpool_time(x)
+        if tail is not None:
+            x = jnp.where(tail, 0.0, x)
+        x = self.drop(x, deterministic=not train)
+
+        x = self.conv_project1(x, train)
+        if tail is not None:
+            x = jnp.where(tail, 0.0, x)
+        x = self.drop(x, deterministic=not train)
+        x = self.conv_project2(x, train)
+
+        x = x + residual
+
+        x = self.pre_highway(x)
+        for hw in self.highways:
+            x = hw(x)
+        return x
+
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """``lengths`` emulates the reference's exact-length semantics on a
@@ -224,37 +372,7 @@ class CBHG(nn.Module):
         so look-ahead taps must never read one) and the bidirectional GRU
         starts its backward pass at the true last frame. With None the
         reference's padded-batch training behavior is reproduced verbatim."""
-        tail = None
-        if lengths is not None:
-            tail = (jnp.arange(x.shape[1])[None, :]
-                    >= lengths[:, None])[:, :, None]
-            x = jnp.where(tail, 0.0, x)
-        residual = x
-        t = x.shape[1]
-
-        bank = [BatchNormConv(self.channels, k, name=f'conv1d_bank_{k - 1}')(x, train)[:, :t, :]
-                for k in range(1, self.K + 1)]
-        x = jnp.concatenate(bank, axis=-1)
-
-        x = maxpool_time(x)
-        if tail is not None:
-            x = jnp.where(tail, 0.0, x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-
-        x = BatchNormConv(self.proj_channels[0], 3, name='conv_project1')(x, train)
-        if tail is not None:
-            x = jnp.where(tail, 0.0, x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = BatchNormConv(self.proj_channels[1], 3, relu=False,
-                          name='conv_project2')(x, train)
-
-        x = x + residual
-
-        x = nn.Dense(self.channels, use_bias=False, name='pre_highway')(x)
-        for i in range(self.num_highways):
-            x = HighwayNetwork(self.channels, name=f'highways_{i}')(x)
-
-        return BiGRU(self.channels, name='rnn')(x, lengths)
+        return self.rnn(self.pre_rnn(x, train, lengths), lengths)
 
 
 # ---------------------------------------------------------------- transformer

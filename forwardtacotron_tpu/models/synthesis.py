@@ -16,8 +16,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from forwardtacotron_tpu.ops.length_regulator import expanded_lengths
+from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
 
 Array = jnp.ndarray
+
+
+def _jit_serving(fn):
+    """jit with the fused Pallas RNN kernels enabled during tracing (they
+    apply on TPU in bf16 mode; inference-only, so no VJP is needed)."""
+    def traced(*args):
+        with pallas_rnns():
+            return fn(*args)
+    return jax.jit(traced)
 
 
 def bucket_frames(n: int, bucket: int = 128, max_frames: int = 16384) -> int:
@@ -53,11 +63,11 @@ class TTSInference:
         self.multispeaker = multispeaker
 
         if self.multispeaker:
-            self._predict = jax.jit(
+            self._predict = _jit_serving(
                 lambda v, x, semb, alpha: model.apply(
                     v, x, semb, alpha, method=type(model).predict_series))
         else:
-            self._predict = jax.jit(
+            self._predict = _jit_serving(
                 lambda v, x, alpha: model.apply(
                     v, x, alpha, method=type(model).predict_series))
         # one fused dispatch for the host-visible frame counts: eager
@@ -72,11 +82,11 @@ class TTSInference:
         if fn is None:
             model = self.model
             if self.multispeaker:
-                fn = jax.jit(lambda v, x, semb, d, p, e, pc: model.apply(
+                fn = _jit_serving(lambda v, x, semb, d, p, e, pc: model.apply(
                     v, x, semb, d, p, e, pc, max_len,
                     method=type(model).generate))
             else:
-                fn = jax.jit(lambda v, x, d, p, e: model.apply(
+                fn = _jit_serving(lambda v, x, d, p, e: model.apply(
                     v, x, d, p, e, max_len, method=type(model).generate))
             self._decode_cache[max_len] = fn
         return fn
@@ -122,7 +132,16 @@ class TTSInference:
         fn = self._decode_cache.get(key)
         if fn is None:
             model = self.model
-            if self.multispeaker:
+            if (not self.multispeaker
+                    and hasattr(type(model), 'generate_combined')):
+                # flagship fast path: the four token-level GRUs run as one
+                # fused scan inside a single traced graph
+                def fused(v, x, alpha):
+                    out = model.apply(v, x, max_len, alpha,
+                                      method=type(model).generate_combined)
+                    out['mel_len'] = expanded_lengths(out['dur'])
+                    return out
+            elif self.multispeaker:
                 def fused(v, x, semb, alpha):
                     s = model.apply(v, x, semb, alpha,
                                     method=type(model).predict_series)
@@ -140,7 +159,7 @@ class TTSInference:
                                       method=type(model).generate)
                     out['mel_len'] = expanded_lengths(s['dur'])
                     return out
-            fn = jax.jit(fused)
+            fn = _jit_serving(fused)
             self._decode_cache[key] = fn
         return fn
 

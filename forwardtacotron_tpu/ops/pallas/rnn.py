@@ -1,0 +1,276 @@
+"""Fused Pallas TPU kernels for bidirectional recurrent layers (inference).
+
+The XLA `lax.scan` formulation (models/layers.py:_bidir_scan) precomputes the
+input projection for the whole sequence — a [T, B, 2, G] tensor that must be
+written to and re-read from HBM (4.3 GB for the flagship's frame-rate LSTM at
+batch 2048) — and pays while-loop overhead per step. These kernels instead:
+
+  * keep the gate weights (wi/wh/biases) resident in VMEM for the whole
+    sequence — they are read from HBM once, not once per step;
+  * compute the input projection inside the kernel, so the only HBM traffic
+    is reading x once and writing the hidden states once (8x less than the
+    materialized-xproj formulation);
+  * run time as the innermost (sequential) grid dimension with the hidden
+    state carried in VMEM scratch, so Pallas double-buffers the per-step
+    input slices against the MXU work automatically;
+  * process both directions as a leading batch axis of every GEMM (the input
+    is pre-stacked [T, 2, B, I] with the backward direction's sequence
+    already flipped), exactly like the XLA path.
+
+Inference-only: there is no VJP (the training path keeps the differentiable
+`lax.scan`). Gates accumulate in f32 on the MXU and the nonlinearities run in
+f32; the carried state is stored in the input dtype (bf16 end-to-end serving
+matches the XLA bf16 path to ~1e-2).
+
+Layout notes: blocks are [1, 2, BB, I] so the last two dims (BB, I) tile
+cleanly (sublane multiple of 16 for bf16, lane multiple of 128); H and the
+gate width G=3H/4H must be multiples of 128, which holds for the frame-rate
+LSTM (H=512), the prenet/postnet GRUs (H=256), and the fused token-level
+multi-GRU (H=384). The tiny per-predictor GRUs (H=64) stay on XLA.
+"""
+
+from contextlib import contextmanager
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# trace-time switch: Pallas RNN kernels are opt-in (inference paths only —
+# no VJP). models/synthesis.py enables it around its jitted serving graphs.
+_STATE = {'mode': 'off'}
+
+
+@contextmanager
+def pallas_rnns(mode: str = 'on'):
+    prev = _STATE['mode']
+    _STATE['mode'] = mode
+    try:
+        yield
+    finally:
+        _STATE['mode'] = prev
+
+
+def pallas_rnns_enabled() -> bool:
+    return _STATE['mode'] == 'on'
+
+
+def eligible(dtype, in_dim: int, hidden: int) -> bool:
+    """True when the fused kernel supports this shape/dtype and the caller
+    opted in. bf16-only: f32 LSTM weights would not fit VMEM."""
+    return (pallas_rnns_enabled()
+            and dtype == jnp.bfloat16
+            and hidden % 128 == 0
+            and in_dim % 16 == 0
+            and jax.default_backend() == 'tpu')
+
+
+def _pick_bb(b: int, cap: int = 256) -> int:
+    """Batch tile: largest multiple of 16 dividing the padded batch."""
+    for bb in (cap, 128, 64, 32, 16):
+        if b % bb == 0:
+            return bb
+    return 16
+
+
+def _pad_batch(x, bb):
+    b = x.shape[0]
+    pad = (-b) % bb
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, b
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _lstm_kernel(x_ref, wi_ref, wh_ref, b_ref, out_ref, h_scr, c_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
+        c_scr[...] = jnp.zeros(c_scr.shape, c_scr.dtype)
+
+    x_t = x_ref[0]                                   # [2, BB, I]
+    h = h_scr[...]                                   # [2, BB, H]
+    dims = (((2,), (1,)), ((0,), (0,)))
+    gx = jax.lax.dot_general(x_t, wi_ref[...], dims,
+                             preferred_element_type=jnp.float32)
+    gh = jax.lax.dot_general(h, wh_ref[...], dims,
+                             preferred_element_type=jnp.float32)
+    gates = gx + gh + b_ref[...][:, None, :].astype(jnp.float32)
+
+    hd = h_scr.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :hd])
+    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
+    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
+    o = jax.nn.sigmoid(gates[..., 3 * hd:])
+    c = f * c_scr[...].astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c)
+
+    h_scr[...] = h_new.astype(h_scr.dtype)
+    c_scr[...] = c.astype(c_scr.dtype)
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+def _gru_kernel(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, out_ref, h_scr):
+    # bi_ref/bh_ref arrive pre-tiled to [2, BB, G]: slicing the gates of a
+    # (dot + sublane-broadcast bias) crashes Mosaic, a materialized add does
+    # not (the LSTM kernel never slices a broadcast sum, so it keeps [2, G])
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
+
+    x_t = x_ref[0]
+    h = h_scr[...]
+    dims = (((2,), (1,)), ((0,), (0,)))
+    gx = (jax.lax.dot_general(x_t, wi_ref[...], dims,
+                              preferred_element_type=jnp.float32)
+          + bi_ref[...].astype(jnp.float32))
+    gh = (jax.lax.dot_general(h, wh_ref[...], dims,
+                              preferred_element_type=jnp.float32)
+          + bh_ref[...].astype(jnp.float32))
+
+    hd = h_scr.shape[-1]
+    r = jax.nn.sigmoid(gx[..., :hd] + gh[..., :hd])
+    z = jax.nn.sigmoid(gx[..., hd:2 * hd] + gh[..., hd:2 * hd])
+    n = jnp.tanh(gx[..., 2 * hd:] + r * gh[..., 2 * hd:])
+    h_new = (1.0 - z) * n + z * h.astype(jnp.float32)
+
+    h_scr[...] = h_new.astype(h_scr.dtype)
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+def _gru_xp_kernel(xp_ref, wh_ref, bh_ref, out_ref, h_scr):
+    """GRU step from a precomputed input projection (gx = x@wi + bi), used by
+    the fused token-level multi-GRU where each sub-GRU has its own input."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
+
+    gx = xp_ref[0].astype(jnp.float32)
+    h = h_scr[...]
+    dims = (((2,), (1,)), ((0,), (0,)))
+    gh = (jax.lax.dot_general(h, wh_ref[...], dims,
+                              preferred_element_type=jnp.float32)
+          + bh_ref[...].astype(jnp.float32))
+
+    hd = h_scr.shape[-1]
+    r = jax.nn.sigmoid(gx[..., :hd] + gh[..., :hd])
+    z = jax.nn.sigmoid(gx[..., hd:2 * hd] + gh[..., hd:2 * hd])
+    n = jnp.tanh(gx[..., 2 * hd:] + r * gh[..., 2 * hd:])
+    h_new = (1.0 - z) * n + z * h.astype(jnp.float32)
+
+    h_scr[...] = h_new.astype(h_scr.dtype)
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+# ------------------------------------------------------------------ wrappers
+
+
+def _stack_time_major(x2):
+    """[2, B, T, I] -> [T, 2, B, I] (kernel layout: (BB, I) are the tiled
+    minor dims)."""
+    return jnp.transpose(x2, (2, 0, 1, 3))
+
+
+def _run(kernel, inputs, t, b, bb, hidden, dtype, n_state, interpret):
+    grid = (b // bb, t)
+    x_like = inputs[0]
+    in_specs = [pl.BlockSpec((1, 2, bb, x_like.shape[-1]),
+                             lambda i, j: (j, 0, i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
+                 for _ in inputs[1:]]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, bb, hidden),
+                               lambda i, j: (j, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, 2, b, hidden), dtype),
+        scratch_shapes=[pltpu.VMEM((2, bb, hidden), dtype)
+                        for _ in range(n_state)],
+        interpret=interpret,
+    )(*inputs)
+
+
+def _unstack(hs, lengths, flip_fn):
+    """[T, 2, B, H] -> [B, T, 2H] with the backward half flipped back."""
+    fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
+    bwd = flip_fn(jnp.transpose(hs[:, 1], (1, 0, 2)), lengths)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def bidir_rnn_pallas(x: jnp.ndarray,
+                     lengths: Optional[jnp.ndarray],
+                     fwd_params: Tuple, bwd_params: Tuple,
+                     hidden: int, cell: str,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for models.layers._bidir_scan (inference only).
+
+    x: [B, T, I]; params: (wi [I,G], wh [H,G], bi [G], bh [G]) per direction,
+    torch gate order. Returns [B, T, 2*hidden].
+    """
+    from forwardtacotron_tpu.models.layers import flip_sequences
+
+    dtype = x.dtype
+    bb = _pick_bb(x.shape[0])
+    x, b_true = _pad_batch(x, bb)
+    b, t, _ = x.shape
+
+    lens_p = lengths
+    if lengths is not None and x.shape[0] != lengths.shape[0]:
+        lens_p = jnp.pad(lengths, (0, x.shape[0] - lengths.shape[0]),
+                         constant_values=1)
+    x2 = _stack_time_major(
+        jnp.stack([x, flip_sequences(x, lens_p)], axis=0))
+    x2 = jax.lax.optimization_barrier(x2)
+
+    wi = jnp.stack([fwd_params[0], bwd_params[0]]).astype(dtype)
+    wh = jnp.stack([fwd_params[1], bwd_params[1]]).astype(dtype)
+    bi = jnp.stack([fwd_params[2], bwd_params[2]]).astype(dtype)
+    bh = jnp.stack([fwd_params[3], bwd_params[3]]).astype(dtype)
+
+    if cell == 'lstm':
+        hs = _run(_lstm_kernel, (x2, wi, wh, bi + bh), t, b, bb, hidden,
+                  dtype, 2, interpret)
+    else:
+        bi_t = jnp.broadcast_to(bi[:, None, :], (2, bb) + bi.shape[1:])
+        bh_t = jnp.broadcast_to(bh[:, None, :], (2, bb) + bh.shape[1:])
+        hs = _run(_gru_kernel, (x2, wi, wh, bi_t, bh_t), t, b, bb, hidden,
+                  dtype, 1, interpret)
+    out = _unstack(hs, lens_p, flip_sequences)
+    return out[:b_true]
+
+
+def gru_from_xp_pallas(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
+                       wh: jnp.ndarray, bh: jnp.ndarray,
+                       hidden: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused-scan GRU from precomputed per-direction input projections.
+
+    xp_f/xp_b: [B, T, G] (= x @ wi + bi, backward already flipped);
+    wh: [2, H, G]; bh: [2, G]. Returns [T, 2, B, H] hidden states (caller
+    flips/concats — multi_bigru needs per-sub-GRU slices first).
+    """
+    dtype = xp_f.dtype
+    bb = _pick_bb(xp_f.shape[0])
+    xp_f, b_true = _pad_batch(xp_f, bb)
+    xp_b, _ = _pad_batch(xp_b, bb)
+    b, t, _ = xp_f.shape
+
+    xp2 = _stack_time_major(jnp.stack([xp_f, xp_b], axis=0))
+    xp2 = jax.lax.optimization_barrier(xp2)
+    bh_t = jnp.broadcast_to(bh[:, None, :].astype(dtype),
+                            (2, bb) + bh.shape[1:])
+    hs = _run(_gru_xp_kernel, (xp2, wh.astype(dtype), bh_t),
+              t, b, bb, hidden, dtype, 1, interpret)
+    return hs, b_true
