@@ -60,7 +60,9 @@ class DurationExtractor:
 
         path_probs = 1.0 - attention
         if self.method == 'dp':
-            path = _shortest_monotonic_path_dp(path_probs)
+            path = _shortest_monotonic_path_native(path_probs)
+            if path is None:
+                path = _shortest_monotonic_path_dp(path_probs)
         else:
             path = _shortest_monotonic_path_dijkstra(path_probs)
 
@@ -77,6 +79,34 @@ class DurationExtractor:
 
         att_score = float(np.mean(att_scores)) if att_scores else 0.0
         return durations, att_score
+
+
+def _shortest_monotonic_path_native(w: np.ndarray):
+    """C++ DP (native/duration_dp.cpp) via ctypes — identical algorithm and
+    tie-breaking to _shortest_monotonic_path_dp, ~100x faster since the
+    numpy version's rightward relaxation is a sequential Python loop.
+    Returns None when the native library is unavailable."""
+    import ctypes
+
+    from forwardtacotron_tpu.native import load_library
+
+    lib = load_library('duration_dp')
+    if lib is None:
+        return None
+    rows, cols = w.shape
+    w64 = np.ascontiguousarray(w, dtype=np.float64)
+    cap = rows + cols
+    path_i = np.empty(cap, dtype=np.int32)
+    path_j = np.empty(cap, dtype=np.int32)
+    fn = lib.duration_dp_path
+    fn.restype = ctypes.c_int
+    n = fn(w64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+           ctypes.c_int64(rows), ctypes.c_int64(cols),
+           path_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           path_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n <= 0:
+        return None
+    return list(zip(path_i[:n].tolist(), path_j[:n].tolist()))
 
 
 def _shortest_monotonic_path_dp(w: np.ndarray):
