@@ -55,8 +55,12 @@ class BatchNormConv(nn.Module):
         x = x[:, :t, :]  # even kernels emit one extra frame
         if self.relu:
             x = jax.nn.relu(x)
+        # dtype=x.dtype: statistics still accumulate in f32 inside flax, but
+        # the normalized output keeps the compute dtype — without this the
+        # f32 running stats promote every BN output back to f32 and silently
+        # defeat bf16 mixed-precision training (no-op for f32 inputs)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bnorm')(x)
+                         epsilon=1e-5, name='bnorm', dtype=x.dtype)(x)
         return x
 
 

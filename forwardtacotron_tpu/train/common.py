@@ -109,3 +109,16 @@ class StepTimer:
 
 def to_host(metrics: Dict[str, Any]) -> Dict[str, float]:
     return {k: float(v) for k, v in metrics.items()}
+
+
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast every floating-point leaf of a pytree to ``dtype`` (ints, bools
+    and non-arrays pass through). Used by the mixed-precision train step to
+    move params/batch into bf16 and model outputs back to f32."""
+    import jax
+
+    def cast(a):
+        if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+    return jax.tree.map(cast, tree)

@@ -27,6 +27,7 @@ from forwardtacotron_tpu.parallel.mesh import (make_mesh,
                                                pad_batch_to_devices,
                                                shard_batch)
 from forwardtacotron_tpu.train.common import (Averager, StepTimer, TTSSession,
+                                              cast_floats,
                                               classification_accuracy,
                                               masked_cross_entropy, masked_l1)
 from forwardtacotron_tpu.train.state import (TrainState, create_train_state,
@@ -130,6 +131,38 @@ class ForwardTrainer:
         pitch_zoneout = self.train_cfg.get('pitch_zoneout', 0.0)
         energy_zoneout = self.train_cfg.get('energy_zoneout', 0.0)
 
+        # metrics are consumed with a one-step lag: fetching step N's scalars
+        # blocks the host until the step finishes, so processing N-1's while
+        # N runs keeps the device queue full (the step counter is tracked
+        # host-side for the same reason — int(state.step) is a device sync)
+        step = current_step
+        pending = None
+
+        def flush(p):
+            p_step, p_metrics, p_e, p_i = p
+            m_loss_avg.add(float(p_metrics['m1_loss'])
+                           + float(p_metrics['m2_loss']))
+            dur_loss_avg.add(float(p_metrics['dur_loss']))
+            pitch_loss_avg.add(float(p_metrics['pitch_loss']))
+            msg = (f'| Epoch: {p_e}/{epochs} ({p_i}/{total_iters}) '
+                   f'| Mel Loss: {m_loss_avg.get():#.4} '
+                   f'| Dur Loss: {dur_loss_avg.get():#.4} '
+                   f'| Pitch Loss: {pitch_loss_avg.get():#.4} '
+                   f'| {timer.steps_per_second():#.2} steps/s '
+                   f'| Step: {p_step // 1000}k | ')
+            for tag, val in (('Mel_Loss/train', m_loss_avg.get()),
+                             ('Pitch_Loss/train', float(p_metrics['pitch_loss'])),
+                             ('Energy_Loss/train', float(p_metrics['energy_loss'])),
+                             ('Duration_Loss/train', float(p_metrics['dur_loss'])),
+                             ('Params/batch_size', session.bs),
+                             ('Params/learning_rate', session.lr)):
+                self.writer.add_scalar(tag, val, p_step)
+            if 'pitch_cond_loss' in p_metrics:
+                self.writer.add_scalar('Pitch_Cond_Loss/train',
+                                       float(p_metrics['pitch_cond_loss']),
+                                       p_step)
+            stream(msg)
+
         for e in range(1, epochs + 1):
             for i, batch in enumerate(session.train_set, 1):
                 batch = dict(batch)
@@ -150,40 +183,22 @@ class ForwardTrainer:
 
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, device_batch, step_rng)
+                step += 1
+                if pending is not None:
+                    flush(pending)
+                pending = (step, metrics, e, i)
                 timer.tick()
 
-                step = int(state.step)
-                k = step // 1000
-                m_loss_avg.add(float(metrics['m1_loss']) + float(metrics['m2_loss']))
-                dur_loss_avg.add(float(metrics['dur_loss']))
-                pitch_loss_avg.add(float(metrics['pitch_loss']))
-
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Mel Loss: {m_loss_avg.get():#.4} '
-                       f'| Dur Loss: {dur_loss_avg.get():#.4} '
-                       f'| Pitch Loss: {pitch_loss_avg.get():#.4} '
-                       f'| {timer.steps_per_second():#.2} steps/s '
-                       f'| Step: {k}k | ')
-
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    self._save(state, f'forward_step{k}k.ckpt')
+                    self._save(state, f'forward_step{step // 1000}k.ckpt')
                 if step % self.train_cfg['plot_every'] == 0:
                     self.generate_plots(model, state, session)
-
-                for tag, val in (('Mel_Loss/train', m_loss_avg.get()),
-                                 ('Pitch_Loss/train', float(metrics['pitch_loss'])),
-                                 ('Energy_Loss/train', float(metrics['energy_loss'])),
-                                 ('Duration_Loss/train', float(metrics['dur_loss'])),
-                                 ('Params/batch_size', session.bs),
-                                 ('Params/learning_rate', session.lr)):
-                    self.writer.add_scalar(tag, val, step)
-                if 'pitch_cond_loss' in metrics:
-                    self.writer.add_scalar('Pitch_Cond_Loss/train',
-                                           float(metrics['pitch_cond_loss']), step)
-                stream(msg)
                 if step >= session.max_step:
                     break
 
+            if pending is not None:
+                flush(pending)
+                pending = None
             val_out = self.evaluate(model, state, session.val_set)
             for tag, val in val_out.items():
                 self.writer.add_scalar(f'{tag}/val', val, int(state.step))
@@ -212,13 +227,23 @@ class ForwardTrainer:
         multispeaker = self.multispeaker
         tx = self.tx
 
+        # bf16 mixed precision: compute (matmuls/convs/scans) in bfloat16
+        # with f32 master params, f32 Adam moments, f32 BatchNorm running
+        # stats, and all losses reduced in f32. Gradients arrive f32 through
+        # the cast. ~2x MXU rate + half the HBM traffic on TPU.
+        mp = self.train_cfg.get('precision', 'float32') == 'bfloat16'
+
         def loss_fn(params, batch_stats, batch, rng):
-            variables = {'params': params}
+            variables = {'params': cast_floats(params, jnp.bfloat16)
+                         if mp else params}
             if batch_stats is not None:
                 variables['batch_stats'] = batch_stats
+            apply_batch = cast_floats(batch, jnp.bfloat16) if mp else batch
             out, mutated = model.apply(
-                variables, batch, train=True,
+                variables, apply_batch, train=True,
                 rngs={'dropout': rng}, mutable=['batch_stats'])
+            if mp:  # losses and their targets reduce in f32
+                out = cast_floats(out, jnp.float32)
 
             m1 = masked_l1(out['mel'], batch['mel'], batch['mel_len'])
             m2 = masked_l1(out['mel_post'], batch['mel'], batch['mel_len'])

@@ -19,7 +19,8 @@ from forwardtacotron_tpu.dsp.dsp import DSP
 from forwardtacotron_tpu.parallel.mesh import (make_mesh,
                                                pad_batch_to_devices,
                                                shard_batch)
-from forwardtacotron_tpu.train.common import Averager, StepTimer, TTSSession
+from forwardtacotron_tpu.train.common import (Averager, StepTimer, TTSSession,
+                                              cast_floats)
 from forwardtacotron_tpu.train.forward_trainer import make_writer
 from forwardtacotron_tpu.train.state import (TrainState, create_train_state,
                                              make_optimizer,
@@ -86,6 +87,27 @@ class TacoTrainer:
         rng = jax.random.PRNGKey(seed + current_step)
         loss_avg, timer = Averager(), StepTimer()
 
+        # one-step-lag metric/attention processing (see ForwardTrainer): the
+        # host consumes step N-1's outputs while step N runs on device
+        step = current_step
+        pending = None
+
+        def flush(p):
+            p_step, p_metrics, p_attn, p_mel_len, p_e, p_i = p
+            loss_avg.add(float(p_metrics['loss']))
+            loc_score, sharp_score = attention_score(
+                np.asarray(p_attn), np.asarray(p_mel_len), r=session.r)
+            self.writer.add_scalar('Attention_Score/loc', loc_score.mean(), p_step)
+            self.writer.add_scalar('Attention_Score/sharpness', sharp_score.mean(), p_step)
+            self.writer.add_scalar('Loss/train', float(p_metrics['loss']), p_step)
+            self.writer.add_scalar('Params/batch_size', session.bs, p_step)
+            self.writer.add_scalar('Params/reduction_factor', session.r, p_step)
+            self.writer.add_scalar('Params/learning_rate', session.lr, p_step)
+            stream(f'| Epoch: {p_e}/{epochs} ({p_i}/{total_iters}) '
+                   f'| Loss: {loss_avg.get():#.4} '
+                   f'| {timer.steps_per_second():#.2} steps/s '
+                   f'| Step: {p_step // 1000}k | ')
+
         for e in range(1, epochs + 1):
             for i, batch in enumerate(session.train_set, 1):
                 batch = pad_batch_to_devices(dict(batch), self.mesh)
@@ -95,34 +117,22 @@ class TacoTrainer:
                 rng, step_rng = jax.random.split(rng)
                 state, metrics, attn = train_step(state, device_batch,
                                                   step_rng)
+                step += 1
+                if pending is not None:
+                    flush(pending)
+                pending = (step, metrics, attn, batch['mel_len'], e, i)
                 timer.tick()
-                loss_avg.add(float(metrics['loss']))
-                step = int(state.step)
-                k = step // 1000
-
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Loss: {loss_avg.get():#.4} '
-                       f'| {timer.steps_per_second():#.2} steps/s '
-                       f'| Step: {k}k | ')
 
                 if step % self.train_cfg.get('plot_every', 1000) == 0:
                     self.generate_plots(model, state, session)
-                loc_score, sharp_score = attention_score(
-                    np.asarray(attn), np.asarray(batch['mel_len']),
-                    r=session.r)
-                self.writer.add_scalar('Attention_Score/loc', loc_score.mean(), step)
-                self.writer.add_scalar('Attention_Score/sharpness', sharp_score.mean(), step)
-                self.writer.add_scalar('Loss/train', float(metrics['loss']), step)
-                self.writer.add_scalar('Params/batch_size', session.bs, step)
-                self.writer.add_scalar('Params/reduction_factor', session.r, step)
-                self.writer.add_scalar('Params/learning_rate', session.lr, step)
-
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    self._save(state, f'taco_step{k}k.ckpt')
-                stream(msg)
+                    self._save(state, f'taco_step{step // 1000}k.ckpt')
                 if step >= session.max_step:
                     break
 
+            if pending is not None:
+                flush(pending)
+                pending = None
             val_loss = self.evaluate(model, state, session.val_set, session.r)
             self.writer.add_scalar('Loss/val', val_loss, int(state.step))
             self._save(state, 'latest_model.ckpt')
@@ -141,14 +151,21 @@ class TacoTrainer:
 
     def _build_train_step(self, model, r: int):
         tx = self.tx
+        # bf16 mixed precision (see ForwardTrainer._build_train_step)
+        mp = self.train_cfg.get('precision', 'float32') == 'bfloat16'
 
         def loss_fn(params, batch_stats, batch, rng):
-            variables = {'params': params}
+            variables = {'params': cast_floats(params, jnp.bfloat16)
+                         if mp else params}
             if batch_stats is not None:
                 variables['batch_stats'] = batch_stats
+            apply_batch = cast_floats(batch, jnp.bfloat16) if mp else batch
             (mel_out, linear, attn), mutated = model.apply(
-                variables, batch, r=r, train=True,
+                variables, apply_batch, r=r, train=True,
                 rngs={'dropout': rng}, mutable=['batch_stats'])
+            if mp:
+                mel_out, linear, attn = (a.astype(jnp.float32)
+                                         for a in (mel_out, linear, attn))
             target = batch['mel']
             m1 = jnp.mean(jnp.abs(mel_out - target))
             m2 = jnp.mean(jnp.abs(linear - target))

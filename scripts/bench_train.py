@@ -1,0 +1,79 @@
+"""Training-step throughput on the real chip: f32 vs bf16 mixed precision.
+
+Full-size singlespeaker ForwardTacotron, synthetic batch (bs x T like the
+LJSpeech bucket shapes). Prints steps/s best-of-trials per precision.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+
+    from forwardtacotron_tpu.dsp.dsp import DSP
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.parallel.mesh import shard_batch
+    from forwardtacotron_tpu.train.forward_trainer import ForwardTrainer
+    from forwardtacotron_tpu.train.state import create_train_state
+    from forwardtacotron_tpu.utils.files import read_config
+    from forwardtacotron_tpu.utils.paths import Paths
+    import tempfile
+
+    bs, n_tok, t = 32, 104, 832
+    rs = np.random.RandomState(0)
+    dur = np.full((bs, n_tok), t // n_tok, np.float32)
+    batch = {
+        'x': rs.randint(1, 130, (bs, n_tok)).astype(np.int64),
+        'dur': dur,
+        'x_len': np.full((bs,), n_tok, np.int64),
+        'mel_len': np.full((bs,), t, np.int64),
+        'pitch': rs.randn(bs, n_tok).astype(np.float32),
+        'energy': rs.rand(bs, n_tok).astype(np.float32),
+        'pitch_target': rs.randn(bs, n_tok).astype(np.float32),
+        'energy_target': rs.rand(bs, n_tok).astype(np.float32),
+        'mel': rs.randn(bs, t, 80).astype(np.float32) - 4.0,
+    }
+
+    for precision in ('float32', 'bfloat16'):
+        config = read_config('configs/singlespeaker.yaml')
+        tmp = tempfile.mkdtemp(prefix='bench_train_')
+        config['data_path'] = f'{tmp}/data'
+        config['checkpoint_path'] = f'{tmp}/ckpt'
+        config['forward_tacotron']['training']['precision'] = precision
+        paths = Paths.from_config(config)
+        model = init_tts_model(config)
+        variables = model.init({'params': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1)},
+                               batch, train=False)
+        trainer = ForwardTrainer(paths, DSP.from_config(config), config)
+        state = create_train_state(variables, trainer.tx)
+        step_fn = trainer._get_train_step(model)
+        db = shard_batch(batch, trainer.mesh)
+        rng = jax.random.PRNGKey(0)
+
+        # warmup/compile
+        state, m = step_fn(state, db, rng)
+        jax.block_until_ready(m['loss'])
+
+        best = 0.0
+        for _ in range(3):
+            n = 20
+            start = time.time()
+            for _ in range(n):
+                rng, sub = jax.random.split(rng)
+                state, m = step_fn(state, db, sub)
+            jax.block_until_ready(m['loss'])
+            dt = time.time() - start
+            best = max(best, n / dt)
+        print(f'{precision}: {best:.2f} steps/s (bs={bs}, T={t}), '
+              f'loss={float(m["loss"]):.4f}')
+
+
+if __name__ == '__main__':
+    main()

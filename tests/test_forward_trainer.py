@@ -122,3 +122,50 @@ def test_train_step_loss_decreases(training_setup):
     assert all(np.isfinite(losses))
     # same batch repeatedly: loss should drop substantially
     assert losses[-1] < losses[0]
+
+
+def test_train_step_bf16_mixed_precision(training_setup):
+    """precision=bfloat16: finite decreasing loss, f32 master params, f32
+    BatchNorm running stats, f32 Adam moments."""
+    import jax
+    import jax.numpy as jnp
+    config, paths = training_setup
+    config['forward_tacotron']['training']['precision'] = 'bfloat16'
+    dsp = DSP.from_config(config)
+    model = init_tts_model(config)
+    trainer = ForwardTrainer(paths, dsp, config)
+
+    loader, _ = get_forward_dataloaders(paths=paths, batch_size=4,
+                                        **config['forward_tacotron']['training']['filter'])
+    batch = dict(next(iter(loader)))
+    batch['pitch_target'] = batch['pitch']
+    batch['energy_target'] = batch['energy']
+    jb = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           jb, train=False)
+    state = create_train_state(variables, trainer.tx)
+    step_fn = trainer._get_train_step(model)
+
+    from forwardtacotron_tpu.parallel.mesh import (pad_batch_to_devices,
+                                                   shard_batch)
+    jb = pad_batch_to_devices(jb, trainer.mesh)
+    device_batch = shard_batch(jb, trainer.mesh)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, device_batch, sub)
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # master state must remain float32 throughout
+    for leaf in jax.tree.leaves(state.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.opt_state):
+        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
