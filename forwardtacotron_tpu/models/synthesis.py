@@ -21,11 +21,14 @@ from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
 Array = jnp.ndarray
 
 
-def _jit_serving(fn):
+def _jit_serving(fn, use_pallas: bool = True):
     """jit with the fused Pallas RNN kernels enabled during tracing (they
-    apply on TPU in bf16 mode; inference-only, so no VJP is needed)."""
+    apply on TPU in bf16 mode; inference-only, so no VJP is needed).
+    ``use_pallas=False`` keeps the XLA scan path — used for multi-device
+    meshes, where GSPMD partitioning of the handwritten kernels is not
+    exercised (single-chip serving is the Pallas fast path)."""
     def traced(*args):
-        with pallas_rnns():
+        with pallas_rnns('on' if use_pallas else 'off'):
             return fn(*args)
     return jax.jit(traced)
 
@@ -46,16 +49,28 @@ class TTSInference:
 
     def __init__(self, model, variables: Dict[str, Any],
                  multispeaker: Optional[bool] = None,
-                 dtype: str = 'float32'):
+                 dtype: str = 'float32',
+                 mesh=None):
         """``dtype='bfloat16'`` casts parameters (and therefore activations)
         to bf16 for ~2x MXU/bandwidth throughput at a small accuracy cost —
-        keep float32 when bit-level parity with the reference matters."""
+        keep float32 when bit-level parity with the reference matters.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
+        parameters are replicated, request batches sharded over the 'data'
+        axis (padded up to a multiple of its size), and GSPMD partitions the
+        whole generate graph; throughput scales with the mesh (the reference
+        has no multi-device serving story at all)."""
         self.model = model
         if dtype == 'bfloat16':
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
                 variables)
+        self.mesh = mesh
+        self._use_pallas = mesh is None or int(mesh.devices.size) == 1
+        if mesh is not None:
+            from forwardtacotron_tpu.parallel.mesh import replicated
+            variables = jax.device_put(variables, replicated(mesh))
         self.variables = variables
         if multispeaker is None:
             multispeaker = 'speaker_emb_dims' in type(model).__annotations__ \
@@ -65,11 +80,13 @@ class TTSInference:
         if self.multispeaker:
             self._predict = _jit_serving(
                 lambda v, x, semb, alpha: model.apply(
-                    v, x, semb, alpha, method=type(model).predict_series))
+                    v, x, semb, alpha, method=type(model).predict_series),
+                self._use_pallas)
         else:
             self._predict = _jit_serving(
                 lambda v, x, alpha: model.apply(
-                    v, x, alpha, method=type(model).predict_series))
+                    v, x, alpha, method=type(model).predict_series),
+                self._use_pallas)
         # one fused dispatch for the host-visible frame counts: eager
         # elementwise chains cost several kernel launches per call
         self._lengths = jax.jit(
@@ -84,12 +101,38 @@ class TTSInference:
             if self.multispeaker:
                 fn = _jit_serving(lambda v, x, semb, d, p, e, pc: model.apply(
                     v, x, semb, d, p, e, pc, max_len,
-                    method=type(model).generate))
+                    method=type(model).generate), self._use_pallas)
             else:
                 fn = _jit_serving(lambda v, x, d, p, e: model.apply(
-                    v, x, d, p, e, max_len, method=type(model).generate))
+                    v, x, d, p, e, max_len, method=type(model).generate),
+                    self._use_pallas)
             self._decode_cache[max_len] = fn
         return fn
+
+    def _shard(self, x: Array, semb: Optional[Array]):
+        """Pad the request batch to a multiple of the data axis and place it
+        sharded; returns (x, semb, true_batch)."""
+        b_true = x.shape[0]
+        if self.mesh is None:
+            return x, semb, b_true
+        from forwardtacotron_tpu.parallel.mesh import (DATA_AXIS,
+                                                       batch_sharding)
+        n_data = self.mesh.shape[DATA_AXIS]
+        pad = (-b_true) % n_data
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)])
+            if semb is not None:
+                semb = jnp.concatenate(
+                    [semb, jnp.repeat(semb[:1], pad, axis=0)])
+        sharding = batch_sharding(self.mesh)
+        x = jax.device_put(x, sharding)
+        if semb is not None:
+            semb = jax.device_put(semb, sharding)
+        return x, semb, b_true
+
+    @staticmethod
+    def _crop(out: Dict[str, Array], b_true: int) -> Dict[str, Array]:
+        return {k: v[:b_true] for k, v in out.items()}
 
     def generate(self, x,
                  speaker_emb=None,
@@ -100,10 +143,13 @@ class TTSInference:
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None, :]
+        semb = None
         if self.multispeaker:
             semb = jnp.asarray(speaker_emb)
             if semb.ndim == 1:
                 semb = semb[None, :]
+        x, semb, b_true = self._shard(x, semb)
+        if self.multispeaker:
             series = self._predict(self.variables, x, semb, alpha)
         else:
             series = self._predict(self.variables, x, alpha)
@@ -121,7 +167,7 @@ class TTSInference:
         else:
             out = decode(self.variables, x, dur, pitch, energy)
         out['mel_len'] = mel_lens
-        return out
+        return self._crop(out, b_true)
 
     def _get_fused(self, max_len: int) -> Callable:
         """Single-dispatch serving path: series prediction + decode fused in
@@ -159,7 +205,7 @@ class TTSInference:
                                       method=type(model).generate)
                     out['mel_len'] = expanded_lengths(s['dur'])
                     return out
-            fn = _jit_serving(fused)
+            fn = _jit_serving(fused, self._use_pallas)
             self._decode_cache[key] = fn
         return fn
 
@@ -173,12 +219,15 @@ class TTSInference:
         if x.ndim == 1:
             x = x[None, :]
         fn = self._get_fused(max_len)
+        semb = None
         if self.multispeaker:
             semb = jnp.asarray(speaker_emb)
             if semb.ndim == 1:
                 semb = semb[None, :]
-            return fn(self.variables, x, semb, alpha)
-        return fn(self.variables, x, alpha)
+        x, semb, b_true = self._shard(x, semb)
+        if self.multispeaker:
+            return self._crop(fn(self.variables, x, semb, alpha), b_true)
+        return self._crop(fn(self.variables, x, alpha), b_true)
 
     def generate_cropped(self, x, **kwargs) -> Dict[str, np.ndarray]:
         """Single-utterance convenience: crops outputs to the true length and

@@ -27,6 +27,12 @@ def main():
                         help='speaker name for multispeaker checkpoints')
     parser.add_argument('--batched', action='store_true',
                         help='synthesize all sentences as one padded batch')
+    parser.add_argument('--dtype', default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='bfloat16 = fused serving path (~2x throughput, '
+                             'mel MAE ~1e-4 vs float32)')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard the batch over all visible devices')
     parser.add_argument('vocoder', nargs='?', default='griffinlim',
                         choices=['griffinlim', 'melgan', 'hifigan'])
     args = parser.parse_args()
@@ -73,7 +79,12 @@ def main():
                           use_phonemes=False,
                           lang=config['preprocessing']['language'])
     tokenizer = Tokenizer()
-    inference = TTSInference(model, variables, multispeaker=multispeaker)
+    mesh = None
+    if args.data_parallel:
+        from forwardtacotron_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    inference = TTSInference(model, variables, multispeaker=multispeaker,
+                             dtype=args.dtype, mesh=mesh)
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -92,14 +103,14 @@ def main():
         for i, toks in enumerate(token_lists):
             x[i, :len(toks)] = toks
         out = inference.generate(x, **kwargs)
-        mels = [np.asarray(out['mel_post'])[i, :int(out['mel_len'][i])].T
+        mels = [np.asarray(out['mel_post'], np.float32)[i, :int(out['mel_len'][i])].T
                 for i in range(len(sentences))]
     else:
         mels = []
         for sentence in sentences:
             x = np.asarray(tokenizer(cleaner(sentence)))
             out = inference.generate_cropped(x, **kwargs)
-            mels.append(out['mel_post'])
+            mels.append(np.asarray(out['mel_post'], np.float32))
 
     for i, mel in enumerate(mels, 1):
         name = f'{i}_forward_{int(checkpoint["step"] / 1000)}k_alpha{args.alpha}'

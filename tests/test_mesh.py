@@ -54,3 +54,51 @@ def test_grad_allreduce_over_mesh():
     g = grad_fn(w, xd)
     expected = 2 * x.T @ (x @ np.ones((4, 4))) / 8
     np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)
+
+
+def test_sharded_serving_matches_single_device():
+    """TTSInference with a mesh: batch sharded over 'data', params
+    replicated; outputs match the unsharded path and odd batch sizes are
+    padded/cropped transparently."""
+    from pathlib import Path
+
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import TTSInference
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config(Path(__file__).parent / 'resources' / 'test_config.yaml')
+    model = init_tts_model(config)
+    rs = np.random.RandomState(0)
+    n_tok = 8
+    init_batch = {
+        'x': np.ones((1, n_tok), np.int64),
+        'dur': np.full((1, n_tok), 2.0, np.float32),
+        'mel_len': np.array([2 * n_tok]),
+        'pitch': np.zeros((1, n_tok), np.float32),
+        'energy': np.zeros((1, n_tok), np.float32),
+        'mel': np.zeros((1, 2 * n_tok, config['dsp']['num_mels']), np.float32),
+    }
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           init_batch, train=False)
+
+    x = rs.randint(1, 100, (5, n_tok))  # 5 % 8 != 0 -> exercises padding
+    single = TTSInference(model, variables, multispeaker=False)
+    sharded = TTSInference(model, variables, multispeaker=False,
+                           mesh=make_mesh())
+
+    out_s = single.generate(x)
+    out_m = sharded.generate(x)
+    assert out_m['mel_post'].shape[0] == 5
+    np.testing.assert_array_equal(np.asarray(out_s['mel_len']),
+                                  np.asarray(out_m['mel_len']))
+    np.testing.assert_allclose(np.asarray(out_s['mel_post']),
+                               np.asarray(out_m['mel_post']),
+                               rtol=1e-4, atol=1e-4)
+
+    fused_s = single.generate_fused(x, max_len=64)
+    fused_m = sharded.generate_fused(x, max_len=64)
+    assert fused_m['mel_post'].shape[0] == 5
+    np.testing.assert_allclose(np.asarray(fused_s['mel_post']),
+                               np.asarray(fused_m['mel_post']),
+                               rtol=1e-4, atol=1e-4)
