@@ -82,14 +82,21 @@ def main():
 
     # steady-state serving: n_iters dispatches back-to-back with ONE readback
     # at the end — per-call readbacks would measure the pooled-TPU relay's
-    # ~170 ms round trip, not the chip. best-of-trials vs tenant noise.
+    # ~170 ms round trip, not the chip. Each iteration's input is chained to
+    # the previous output (+0), so the final scalar fetch provably forces
+    # every dispatch (on this relay block_until_ready does NOT await
+    # execution — see scripts/bench_readback_sanity.py). best-of-trials vs
+    # tenant noise.
     n_iters, n_trials = 12, 3
+    chain = jax.jit(lambda x, m: x + (m[0, 0, 0] * 0).astype(x.dtype))
     best = 0.0
     for _ in range(n_trials):
         start = time.time()
+        xi = xd
         for _ in range(n_iters):
-            out = inference.generate_fused(xd, max_len=max_len)
-        np.asarray(out['mel_post'][0, 0, 0])  # block on the last dispatch
+            out = inference.generate_fused(xi, max_len=max_len)
+            xi = chain(xd, out['mel_post'])
+        float(np.asarray(out['mel_post'][0, 0, 0]))  # forces the chain
         elapsed = time.time() - start
         best = max(best, n_iters * frames_per_iter * hop / sr / elapsed)
 

@@ -129,9 +129,13 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
     instead of materializing [T, B, 2, G] in HBM."""
     from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
     if pallas_rnn.eligible(x.dtype, x.shape[-1], hidden):
+        cell = 'lstm' if n_carry == 2 else 'gru'
+        if pallas_rnn.pallas_rnns_trainable():
+            from forwardtacotron_tpu.ops.pallas import rnn_train
+            return rnn_train.bidir_rnn_trainable(
+                x, lengths, fwd_params, bwd_params, hidden, cell)
         return pallas_rnn.bidir_rnn_pallas(
-            x, lengths, fwd_params, bwd_params, hidden,
-            cell='lstm' if n_carry == 2 else 'gru')
+            x, lengths, fwd_params, bwd_params, hidden, cell)
 
     wi_f, wh_f, bi_f, bh_f = fwd_params
     wi_b, wh_b, bi_b, bh_b = bwd_params

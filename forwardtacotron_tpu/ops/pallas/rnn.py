@@ -37,8 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# trace-time switch: Pallas RNN kernels are opt-in (inference paths only —
-# no VJP). models/synthesis.py enables it around its jitted serving graphs.
+# trace-time switch: Pallas RNN kernels are opt-in. 'on' selects the
+# inference kernels (no VJP; models/synthesis.py enables it around its
+# jitted serving graphs); 'train' selects the custom-VJP cores from
+# ops/pallas/rnn_train.py so the kernels also apply under jax.grad (the
+# mixed-precision trainer enables it around its loss function).
 _STATE = {'mode': 'off'}
 
 
@@ -53,7 +56,11 @@ def pallas_rnns(mode: str = 'on'):
 
 
 def pallas_rnns_enabled() -> bool:
-    return _STATE['mode'] == 'on'
+    return _STATE['mode'] in ('on', 'train')
+
+
+def pallas_rnns_trainable() -> bool:
+    return _STATE['mode'] == 'train'
 
 
 def eligible(dtype, in_dim: int, hidden: int) -> bool:

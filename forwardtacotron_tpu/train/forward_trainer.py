@@ -232,16 +232,23 @@ class ForwardTrainer:
         # stats, and all losses reduced in f32. Gradients arrive f32 through
         # the cast. ~2x MXU rate + half the HBM traffic on TPU.
         mp = self.train_cfg.get('precision', 'float32') == 'bfloat16'
+        # fused Pallas RNN kernels with custom VJP (ops/pallas/rnn_train.py)
+        # replace the lax.scan recurrences inside jax.grad; single-chip only
+        # (GSPMD partitioning of the handwritten kernels is not exercised)
+        use_pallas_train = (mp and self.mesh.devices.size == 1
+                            and self.train_cfg.get('pallas_rnn', True))
 
         def loss_fn(params, batch_stats, batch, rng):
+            from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
             variables = {'params': cast_floats(params, jnp.bfloat16)
                          if mp else params}
             if batch_stats is not None:
                 variables['batch_stats'] = batch_stats
             apply_batch = cast_floats(batch, jnp.bfloat16) if mp else batch
-            out, mutated = model.apply(
-                variables, apply_batch, train=True,
-                rngs={'dropout': rng}, mutable=['batch_stats'])
+            with pallas_rnns('train' if use_pallas_train else 'off'):
+                out, mutated = model.apply(
+                    variables, apply_batch, train=True,
+                    rngs={'dropout': rng}, mutable=['batch_stats'])
             if mp:  # losses and their targets reduce in f32
                 out = cast_floats(out, jnp.float32)
 

@@ -57,10 +57,13 @@ def main():
         db = shard_batch(batch, trainer.mesh)
         rng = jax.random.PRNGKey(0)
 
-        # warmup/compile
+        # warmup/compile (float() = real readback; block_until_ready does
+        # not await execution on the pooled relay)
         state, m = step_fn(state, db, rng)
-        jax.block_until_ready(m['loss'])
+        float(m['loss'])
 
+        # steps chain through the donated state, so fetching the last
+        # step's loss forces the whole sequence to have executed
         best = 0.0
         for _ in range(3):
             n = 20
@@ -68,7 +71,7 @@ def main():
             for _ in range(n):
                 rng, sub = jax.random.split(rng)
                 state, m = step_fn(state, db, sub)
-            jax.block_until_ready(m['loss'])
+            float(m['loss'])
             dt = time.time() - start
             best = max(best, n / dt)
         print(f'{precision}: {best:.2f} steps/s (bs={bs}, T={t}), '
