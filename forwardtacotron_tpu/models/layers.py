@@ -132,7 +132,7 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
         cell = 'lstm' if n_carry == 2 else 'gru'
         if pallas_rnn.pallas_rnns_trainable():
             from forwardtacotron_tpu.ops.pallas import rnn_train
-            return rnn_train.bidir_rnn_trainable(
+            return rnn_train.bidir_rnn_trainable_sharded(
                 x, lengths, fwd_params, bwd_params, hidden, cell)
         return pallas_rnn.bidir_rnn_pallas(
             x, lengths, fwd_params, bwd_params, hidden, cell)

@@ -41,18 +41,32 @@ from jax.experimental.pallas import tpu as pltpu
 # inference kernels (no VJP; models/synthesis.py enables it around its
 # jitted serving graphs); 'train' selects the custom-VJP cores from
 # ops/pallas/rnn_train.py so the kernels also apply under jax.grad (the
-# mixed-precision trainer enables it around its loss function).
-_STATE = {'mode': 'off'}
+# mixed-precision trainer enables it around its loss function). When the
+# surrounding jit is GSPMD-partitioned over a data-parallel mesh, the
+# trainer also passes (mesh, data_axis): handwritten kernels have no
+# partitioning rules, so the trainable cores wrap themselves in a
+# jax.shard_map over that axis (batch split per device, weights replicated,
+# weight-gradient psum inserted by shard_map's transpose).
+_STATE = {'mode': 'off', 'mesh': None, 'data_axis': 'data'}
 
 
 @contextmanager
-def pallas_rnns(mode: str = 'on'):
-    prev = _STATE['mode']
-    _STATE['mode'] = mode
+def pallas_rnns(mode: str = 'on', mesh=None, data_axis: str = 'data'):
+    prev = dict(_STATE)
+    _STATE.update(mode=mode, mesh=mesh, data_axis=data_axis)
     try:
         yield
     finally:
-        _STATE['mode'] = prev
+        _STATE.update(prev)
+
+
+def sharding_ctx():
+    """(mesh, data_axis) the trainable cores should shard_map over, or
+    (None, axis) for single-device dispatch."""
+    mesh = _STATE['mesh']
+    if mesh is not None and mesh.shape[_STATE['data_axis']] == 1:
+        mesh = None
+    return mesh, _STATE['data_axis']
 
 
 def pallas_rnns_enabled() -> bool:

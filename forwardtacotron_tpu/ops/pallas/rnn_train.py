@@ -409,3 +409,43 @@ def bidir_rnn_trainable(x: jnp.ndarray, lengths, fwd_params: Tuple,
     bwd_out = flip_sequences(jnp.transpose(hs[:, 1], (1, 0, 2)), lens_p)
     out = jnp.concatenate([fwd_out, bwd_out], axis=-1)
     return out[:b_true]
+
+
+def bidir_rnn_trainable_sharded(x, lengths, fwd_params: Tuple,
+                                bwd_params: Tuple, hidden: int, cell: str,
+                                interpret: bool = False,
+                                mesh=None, data_axis: str = 'data'):
+    """bidir_rnn_trainable, shard_mapped over the data-parallel mesh axis
+    when one is active (ops.pallas.rnn.pallas_rnns(..., mesh=...)).
+
+    Handwritten Pallas kernels carry no GSPMD partitioning rules, so inside
+    a pjit'd train step they must be explicitly placed: batch (and lengths)
+    split over ``data_axis``, weights replicated. shard_map's transpose
+    inserts the psum over the data axis for the weight gradients, which is
+    exactly the DP grad all-reduce the scan formulation gets from GSPMD."""
+    if mesh is None:
+        from forwardtacotron_tpu.ops.pallas.rnn import sharding_ctx
+        mesh, data_axis = sharding_ctx()
+    if mesh is None:
+        return bidir_rnn_trainable(x, lengths, fwd_params, bwd_params,
+                                   hidden, cell, interpret)
+
+    P = jax.sharding.PartitionSpec
+    rep = jax.tree.map(lambda _: P(), (fwd_params, bwd_params))
+
+    if lengths is None:
+        def body(x, fwd, bwd):
+            return bidir_rnn_trainable(x, None, fwd, bwd, hidden, cell,
+                                       interpret)
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P(data_axis),) + rep,
+                           out_specs=P(data_axis), check_vma=False)
+        return fn(x, fwd_params, bwd_params)
+
+    def body(x, lengths, fwd, bwd):
+        return bidir_rnn_trainable(x, lengths, fwd, bwd, hidden, cell,
+                                   interpret)
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(data_axis), P(data_axis)) + rep,
+                       out_specs=P(data_axis), check_vma=False)
+    return fn(x, lengths, fwd_params, bwd_params)

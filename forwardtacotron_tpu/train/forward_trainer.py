@@ -233,10 +233,11 @@ class ForwardTrainer:
         # the cast. ~2x MXU rate + half the HBM traffic on TPU.
         mp = self.train_cfg.get('precision', 'float32') == 'bfloat16'
         # fused Pallas RNN kernels with custom VJP (ops/pallas/rnn_train.py)
-        # replace the lax.scan recurrences inside jax.grad; single-chip only
-        # (GSPMD partitioning of the handwritten kernels is not exercised)
-        use_pallas_train = (mp and self.mesh.devices.size == 1
-                            and self.train_cfg.get('pallas_rnn', True))
+        # replace the lax.scan recurrences inside jax.grad; on a >1-device
+        # mesh the cores shard_map themselves over the 'data' axis (batch
+        # split per device, weights replicated, weight-grad psum from the
+        # shard_map transpose)
+        use_pallas_train = mp and self.train_cfg.get('pallas_rnn', True)
 
         def loss_fn(params, batch_stats, batch, rng):
             from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
@@ -245,7 +246,8 @@ class ForwardTrainer:
             if batch_stats is not None:
                 variables['batch_stats'] = batch_stats
             apply_batch = cast_floats(batch, jnp.bfloat16) if mp else batch
-            with pallas_rnns('train' if use_pallas_train else 'off'):
+            with pallas_rnns('train' if use_pallas_train else 'off',
+                             mesh=self.mesh):
                 out, mutated = model.apply(
                     variables, apply_batch, train=True,
                     rngs={'dropout': rng}, mutable=['batch_stats'])
