@@ -229,6 +229,83 @@ class TTSInference:
             return self._crop(fn(self.variables, x, semb, alpha), b_true)
         return self._crop(fn(self.variables, x, alpha), b_true)
 
+    def generate_routed(self, x,
+                        speaker_emb=None,
+                        alpha: float = 1.0,
+                        frame_bucket: int = 128,
+                        pitch_function: Callable = lambda p: p,
+                        energy_function: Callable = lambda e: e
+                        ) -> Dict[str, Array]:
+        """Length-aware batched synthesis: decode in per-length groups.
+
+        ``generate`` decodes the whole batch at the longest request's frame
+        bucket, so short utterances pay the budget of the longest one (the
+        decode is ~90% of synthesis cost and scales with the frame budget).
+        This routed variant runs the token-rate series prediction once for
+        the batch, reads the expanded lengths (one host sync, same as
+        ``generate``), groups requests by their own ``frame_bucket``-rounded
+        length, and dispatches the already-jitted decode once per group at
+        that group's budget. Outputs are reassembled in request order and
+        padded to the batch maximum, so the contract matches ``generate``.
+
+        Compiles one decode executable per (group size, bucket) pair —
+        steady-state serving with a stable batch size reuses them all.
+        """
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None, :]
+        semb = None
+        if self.multispeaker:
+            semb = jnp.asarray(speaker_emb)
+            if semb.ndim == 1:
+                semb = semb[None, :]
+        if self.multispeaker:
+            series = self._predict(self.variables, x, semb, alpha)
+        else:
+            series = self._predict(self.variables, x, alpha)
+
+        dur = series['dur']
+        pitch = jnp.asarray(pitch_function(series['pitch']))
+        energy = jnp.asarray(energy_function(series['energy']))
+
+        mel_lens = np.asarray(self._lengths(dur)[0])
+        buckets = np.array([bucket_frames(int(n), frame_bucket)
+                            for n in mel_lens])
+        out_parts: Dict[int, Dict[str, Array]] = {}
+        group_idx: Dict[int, np.ndarray] = {}
+        for bucket in np.unique(buckets):
+            idx = np.nonzero(buckets == bucket)[0]
+            group_idx[int(bucket)] = idx
+            decode = self._get_decode(int(bucket))
+            gi = jnp.asarray(idx)
+            args = [self.variables, x[gi]]
+            if self.multispeaker:
+                args.append(semb[gi])
+            args += [dur[gi], pitch[gi], energy[gi]]
+            if self.multispeaker:
+                args.append(series['pitch_cond'][gi])
+            out_parts[int(bucket)] = decode(*args)
+
+        b = x.shape[0]
+        max_bucket = int(buckets.max())
+        merged: Dict[str, Array] = {}
+        for key in out_parts[max_bucket]:
+            sample = out_parts[max_bucket][key]
+            shape = (b,) + sample.shape[1:]
+            acc = jnp.zeros(shape, sample.dtype)
+            for bucket, idx in group_idx.items():
+                part = out_parts[bucket][key]
+                if part.ndim >= 2 and part.shape[1] != shape[1] \
+                        and key in ('mel', 'mel_post'):
+                    part = jnp.pad(
+                        part, ((0, 0), (0, shape[1] - part.shape[1]))
+                        + ((0, 0),) * (part.ndim - 2))
+                acc = acc.at[jnp.asarray(idx)].set(part)
+            merged[key] = acc
+        merged['mel_len'] = jnp.asarray(
+            np.minimum(mel_lens, buckets).astype(np.int64))
+        return merged
+
     def generate_cropped(self, x, **kwargs) -> Dict[str, np.ndarray]:
         """Single-utterance convenience: crops outputs to the true length and
         returns [n_mels, T] numpy mels (the reference's output layout)."""

@@ -102,7 +102,9 @@ def main():
         x = np.zeros((len(token_lists), max_n), np.int64)
         for i, toks in enumerate(token_lists):
             x[i, :len(toks)] = toks
-        out = inference.generate(x, **kwargs)
+        # routed: each sentence decodes at its own frame bucket instead of
+        # the longest sentence's (same outputs, less wasted decode compute)
+        out = inference.generate_routed(x, **kwargs)
         mels = [np.asarray(out['mel_post'], np.float32)[i, :int(out['mel_len'][i])].T
                 for i in range(len(sentences))]
     else:

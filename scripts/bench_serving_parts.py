@@ -34,7 +34,7 @@ def chained_ms(dispatch, chain_in, x0, n=12, warm=2):
         for _ in range(k):
             y = dispatch(xi)
             xi = chain_in(x0, y)
-        float(jnp.sum(y.astype(jnp.float32)[0, :1, :1]))
+        float(jnp.sum(y.astype(jnp.float32).ravel()[:1]))
         return time.time() - t0
 
     run(warm)
@@ -45,6 +45,8 @@ def chained_ms(dispatch, chain_in, x0, n=12, warm=2):
 def main():
     import jax
     import jax.numpy as jnp
+
+    stages = set(sys.argv[1:]) or {'full', 'token', 'lstm', 'post', 'lr'}
 
     from forwardtacotron_tpu.models.registry import init_tts_model
     from forwardtacotron_tpu.models.synthesis import TTSInference
@@ -80,49 +82,88 @@ def main():
     xd = jnp.asarray(x)
 
     # --- full fused dispatch (what bench.py measures)
-    fused = inference._get_fused(MAX_LEN)
+    fused = inference._get_fused(MAX_LEN) if 'full' in stages else None
     chain_tok = jax.jit(
         lambda x0, y: x0 + (y[0, 0, 0] * 0).astype(x0.dtype))
-    ms = chained_ms(lambda xi: fused(inference.variables, xi, 1.0)['mel_post'],
-                    chain_tok, xd)
-    print(f'full fused generate      {ms:8.2f} ms', flush=True)
+    if 'full' in stages:
+        ms = chained_ms(
+            lambda xi: fused(inference.variables, xi, 1.0)['mel_post'],
+            chain_tok, xd)
+        print(f'full fused generate      {ms:8.2f} ms', flush=True)
 
     # --- token stage only
-    ms = chained_ms(
-        lambda xi: inference._predict(inference.variables, xi, 1.0)['dur'],
-        jax.jit(lambda x0, y: x0 + (y[0, 0] * 0).astype(x0.dtype)), xd)
-    print(f'token stage (4 GRUs)     {ms:8.2f} ms', flush=True)
+    if 'token' in stages:
+        ms = chained_ms(
+            lambda xi: inference._predict(
+                inference.variables, xi, 1.0)['dur'],
+            jax.jit(lambda x0, y: x0 + (y[0, 0] * 0).astype(x0.dtype)), xd)
+        print(f'token stage (4 GRUs)     {ms:8.2f} ms', flush=True)
+
+    rs = np.random.RandomState(0)
+    chain_h = jax.jit(lambda x0, y: x0 + (y[0, 0, 0] * 0).astype(x0.dtype))
 
     # --- frame BiLSTM at decode shape
-    rs = np.random.RandomState(0)
-    h = jnp.asarray(rs.randn(BATCH, MAX_LEN, 512), jnp.bfloat16)
-    lstm = BiLSTM(512)
-    lv = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                      lstm.init(jax.random.PRNGKey(0),
-                                np.asarray(h, np.float32)))
+    if 'lstm' in stages:
+        h = jnp.asarray(rs.randn(BATCH, MAX_LEN, 512), jnp.bfloat16)
+        lstm = BiLSTM(512)
+        lv = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          lstm.init(jax.random.PRNGKey(0),
+                                    np.zeros((1, 8, 512), np.float32)))
 
-    def lstm_call(hi):
-        with pallas_rnns('on'):
-            return jax.jit(lambda v, h: lstm.apply(v, h))(lv, hi)
-    chain_h = jax.jit(lambda x0, y: x0 + (y[0, 0, 0] * 0).astype(x0.dtype))
-    ms = chained_ms(lstm_call, chain_h, h)
-    print(f'frame BiLSTM (H=512)     {ms:8.2f} ms', flush=True)
+        def _lstm_traced(v, h):
+            with pallas_rnns('on'):
+                return lstm.apply(v, h)
+        lstm_jit = jax.jit(_lstm_traced)
+        ms = chained_ms(lambda hi: lstm_jit(lv, hi), chain_h, h)
+        print(f'frame BiLSTM (H=512)     {ms:8.2f} ms', flush=True)
 
     # --- postnet CBHG at decode shape
-    mel = jnp.asarray(rs.randn(BATCH, MAX_LEN, 80), jnp.bfloat16)
-    post = CBHG(K=8, channels=256, proj_channels=[256, 80], num_highways=4,
-                dropout=0.0)
-    pv = post.init({'params': jax.random.PRNGKey(0)},
-                   np.asarray(mel, np.float32), train=False)
-    pv = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
-                      if a.dtype == jnp.float32 else a, pv)
+    if 'post' in stages:
+        mel = jnp.asarray(rs.randn(BATCH, MAX_LEN, 80), jnp.bfloat16)
+        post = CBHG(K=8, channels=256, proj_channels=[256, 80],
+                    num_highways=4, dropout=0.0)
+        pv = post.init({'params': jax.random.PRNGKey(0)},
+                       np.zeros((1, 8, 80), np.float32), train=False)
+        pv = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                          if a.dtype == jnp.float32 else a, pv)
 
-    def post_call(mi):
-        with pallas_rnns('on'):
-            return jax.jit(
-                lambda v, m: post.apply(v, m, train=False))(pv, mi)
-    ms = chained_ms(post_call, chain_h, mel)
-    print(f'postnet CBHG (K=8)       {ms:8.2f} ms', flush=True)
+        def _post_traced(v, m):
+            with pallas_rnns('on'):
+                return post.apply(v, m, train=False)
+        post_jit = jax.jit(_post_traced)
+        ms = chained_ms(lambda mi: post_jit(pv, mi), chain_h, mel)
+        print(f'postnet CBHG (K=8)       {ms:8.2f} ms', flush=True)
+
+    # --- prenet CBHG pre_rnn at token rate (its GRU lives in multi_bigru)
+    if 'prenet' in stages:
+        tok_feat = jnp.asarray(rs.randn(BATCH, max_tokens, 256),
+                               jnp.bfloat16)
+        pre = CBHG(K=16, channels=256, proj_channels=[256, 256],
+                   num_highways=4)
+        prv = pre.init({'params': jax.random.PRNGKey(0)},
+                       np.zeros((1, 8, 256), np.float32), train=False)
+        prv = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                           if a.dtype == jnp.float32 else a, prv)
+
+        def _pre_traced(v, m):
+            with pallas_rnns('on'):
+                return pre.apply(v, m, train=False,
+                                 method=CBHG.pre_rnn)
+        pre_jit = jax.jit(_pre_traced)
+        ms = chained_ms(lambda mi: pre_jit(prv, mi), chain_h, tok_feat)
+        print(f'prenet pre_rnn (K=16)    {ms:8.2f} ms', flush=True)
+
+    # --- length regulator at decode shape
+    if 'lr' in stages:
+        from forwardtacotron_tpu.ops.length_regulator import \
+            length_regulator_auto
+        tok_h = jnp.asarray(rs.randn(BATCH, max_tokens, 512), jnp.bfloat16)
+        dur = jnp.asarray(
+            rs.uniform(1.0, 4.0, (BATCH, max_tokens)), jnp.float32)
+        lr_jit = jax.jit(
+            lambda h, d: length_regulator_auto(h, d, max_len=MAX_LEN))
+        ms = chained_ms(lambda hi: lr_jit(hi, dur), chain_h, tok_h)
+        print(f'length regulator         {ms:8.2f} ms', flush=True)
 
 
 if __name__ == '__main__':

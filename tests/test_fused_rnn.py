@@ -127,3 +127,63 @@ def test_generate_combined_matches_two_phase():
                                    rtol=0, atol=1e-5, err_msg=key)
     np.testing.assert_array_equal(np.asarray(two_phase['mel_len']),
                                   np.asarray(fused['mel_len']))
+
+
+def test_generate_routed_matches_two_phase():
+    """Per-length-group routed decode must reproduce the global-bucket
+    two-phase decode for every request on its valid frames (the exact-length
+    masking makes decode output independent of the static padding length)."""
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import TTSInference
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('tests/resources/test_config.yaml')
+    model = init_tts_model(config)
+    rs = np.random.RandomState(3)
+    b, n = 4, 13
+    # heterogeneous durations so requests land in different frame buckets
+    x = rs.randint(1, 100, (b, n)).astype(np.int64)
+    batch = {'x': x,
+             'dur': np.full((b, n), 3.0, np.float32),
+             'mel_len': np.full((b,), 3 * n, np.int64),
+             'pitch': rs.randn(b, n).astype(np.float32),
+             'energy': rs.rand(b, n).astype(np.float32),
+             'mel': np.zeros((b, 3 * n, config['dsp']['num_mels']),
+                             np.float32)}
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           batch, train=False)
+    inf = TTSInference(model, variables, multispeaker=False)
+
+    # random-init durations are near-uniform; scale them per request so the
+    # batch genuinely spans several frame buckets (both paths see the same
+    # predictions, so the comparison stays apples-to-apples)
+    orig_predict = inf._predict
+    scale = jnp.asarray([[0.5], [1.0], [2.0], [3.5]])
+
+    def scaled_predict(v, xq, alpha):
+        out = dict(orig_predict(v, xq, alpha))
+        out['dur'] = out['dur'] * scale[:xq.shape[0]]
+        return out
+
+    inf._predict = scaled_predict
+
+    two_phase = inf.generate(x)
+    routed = inf.generate_routed(x, frame_bucket=16)
+
+    np.testing.assert_array_equal(np.asarray(two_phase['mel_len']),
+                                  np.asarray(routed['mel_len']))
+    lens = np.asarray(two_phase['mel_len'])
+    assert len({int(np.ceil(max(v, 1) / 16)) for v in lens}) > 1, \
+        'test needs requests in different buckets to be meaningful'
+    for key in ('dur', 'pitch', 'energy'):
+        np.testing.assert_allclose(np.asarray(two_phase[key]),
+                                   np.asarray(routed[key]),
+                                   rtol=0, atol=1e-5, err_msg=key)
+    for key in ('mel', 'mel_post'):
+        a, r = np.asarray(two_phase[key]), np.asarray(routed[key])
+        for i in range(b):
+            li = int(lens[i])
+            np.testing.assert_allclose(a[i, :li], r[i, :li],
+                                       rtol=0, atol=1e-5,
+                                       err_msg=f'{key}[{i}]')
