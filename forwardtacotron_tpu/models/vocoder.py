@@ -1,0 +1,291 @@
+"""Neural vocoders (HiFi-GAN / MelGAN generator inference) in JAX.
+
+The reference only *exports* mels for external vocoders
+(reference gen_forward.py:108-116: ``melgan`` saves a ``.mel`` tensor,
+``hifigan`` saves a ``.npy``) and pulls a torch.hub MelGAN in
+notebook_utils/synthesize.py:11-49. Here the generators themselves are
+implemented TPU-natively so the full text->waveform path runs on-chip in one
+program: both are pure conv stacks (transposed-conv upsamplers + dilated
+residual blocks), which XLA maps straight onto the MXU — there is no
+sequential state, so unlike the acoustic models no scan/Pallas treatment is
+needed; fusion of the elementwise (leaky-relu/tanh/residual) glue is XLA's
+job.
+
+Architectures mirror the public checkpoint formats so released weights load:
+
+- ``HiFiGANGenerator``: jik876/hifigan ``Generator`` — conv_pre(k=7) ->
+  [ConvTranspose1d upsample -> mean of |kernel-sizes| dilated ResBlocks]* ->
+  leaky_relu -> conv_post(k=7) -> tanh. ResBlock1 (two-conv residual units,
+  dilations then 1) and ResBlock2 (single dilated conv units) both supported
+  (config key ``resblock: '1'|'2'``).
+- ``MelGANGenerator``: seungwonpark/melgan ``Generator`` — reflection-padded
+  conv(k=7) -> 4x [leaky_relu -> ConvTranspose1d -> 3-layer dilated ResStack
+  (3**i dilation, 1x1 shortcut convs)] -> leaky_relu -> reflection-padded
+  conv(k=7) -> tanh, with the published -11.5129 10-frame mel tail pad in
+  :meth:`MelGANGenerator.inference`.
+
+Layout is channels-last [B, T, C] like the rest of this package; the torch
+checkpoints' [C_out, C_in, K] / [C_in, C_out, K] weights are transposed (and
+weight-norm folded) by utils/vocoder_checkpoints.py.
+"""
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+PAD_VALUE = -11.5129
+
+
+def _same_pad(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class TransposedConv1d(nn.Module):
+    """torch ``ConvTranspose1d(stride=s, padding=p)`` semantics, channels
+    last. Expressed as an input-dilated regular conv (XLA lowers this to one
+    MXU conv): zero-stuff the input by ``stride``, pad ``k-1-p`` each side,
+    correlate with the time-flipped kernel. The parameter is stored
+    pre-flipped ([K, C_in, C_out], flipped time) so the call is a plain
+    ``conv_general_dilated``."""
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (self.kernel_size, in_ch, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1,), padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=('NWC', 'WIO', 'NWC'))
+        return y + bias.astype(self.dtype)
+
+
+class _Conv(nn.Module):
+    """Conv1d with torch-style explicit symmetric padding and dilation."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = nn.Conv(self.features, (self.kernel_size,),
+                       padding=[(self.padding, self.padding)],
+                       kernel_dilation=(self.dilation,), dtype=self.dtype,
+                       name='conv')
+        return conv(x)
+
+
+class ResBlock1(nn.Module):
+    """HiFi-GAN MRF unit, ``resblock: '1'``: per dilation d, a
+    (leaky_relu -> dilated conv -> leaky_relu -> conv) residual pair."""
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.convs1 = [
+            _Conv(self.channels, self.kernel_size, dilation=d,
+                  padding=_same_pad(self.kernel_size, d), dtype=self.dtype)
+            for d in self.dilation]
+        self.convs2 = [
+            _Conv(self.channels, self.kernel_size, dilation=1,
+                  padding=_same_pad(self.kernel_size, 1), dtype=self.dtype)
+            for _ in self.dilation]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for c1, c2 in zip(self.convs1, self.convs2):
+            xt = c1(nn.leaky_relu(x, 0.1))
+            xt = c2(nn.leaky_relu(xt, 0.1))
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """HiFi-GAN MRF unit, ``resblock: '2'``: per dilation d, a single
+    (leaky_relu -> dilated conv) residual."""
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.convs = [
+            _Conv(self.channels, self.kernel_size, dilation=d,
+                  padding=_same_pad(self.kernel_size, d), dtype=self.dtype)
+            for d in self.dilation]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for c in self.convs:
+            x = x + c(nn.leaky_relu(x, 0.1))
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """jik876/hifigan Generator (v1/v2/v3 configs via the attrs below).
+
+    Input [B, T, n_mels] log-mel -> output [B, T*prod(upsample_rates)]
+    waveform in [-1, 1]. The final leaky_relu uses torch's default 0.01
+    slope (the official forward calls ``F.leaky_relu(x)`` bare there, unlike
+    the 0.1 used elsewhere).
+    """
+    resblock: str = '1'
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    dtype: Any = jnp.float32
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    def setup(self):
+        self.conv_pre = _Conv(self.upsample_initial_channel, 7, padding=3,
+                              dtype=self.dtype)
+        block = ResBlock1 if self.resblock == '1' else ResBlock2
+        ups, resblocks = [], []
+        ch = self.upsample_initial_channel
+        for u, k in zip(self.upsample_rates, self.upsample_kernel_sizes):
+            ch //= 2
+            ups.append(TransposedConv1d(ch, k, stride=u, padding=(k - u) // 2,
+                                        dtype=self.dtype))
+            for kr, dr in zip(self.resblock_kernel_sizes,
+                              self.resblock_dilation_sizes):
+                resblocks.append(block(ch, kr, tuple(dr), dtype=self.dtype))
+        self.ups = ups
+        self.resblocks = resblocks
+        self.conv_post = _Conv(1, 7, padding=3, dtype=self.dtype)
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        num_kernels = len(self.resblock_kernel_sizes)
+        x = self.conv_pre(mel.astype(self.dtype))
+        for i, up in enumerate(self.ups):
+            x = up(nn.leaky_relu(x, 0.1))
+            xs = self.resblocks[i * num_kernels](x)
+            for j in range(1, num_kernels):
+                xs = xs + self.resblocks[i * num_kernels + j](x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x, 0.01)
+        x = jnp.tanh(self.conv_post(x))
+        return x[..., 0]
+
+    @classmethod
+    def from_config(cls, config: dict, dtype: Any = jnp.float32
+                    ) -> 'HiFiGANGenerator':
+        """Accepts the official hifigan config.json key names."""
+        return cls(
+            resblock=str(config.get('resblock', '1')),
+            upsample_rates=tuple(config.get('upsample_rates', (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(
+                config.get('upsample_kernel_sizes', (16, 16, 4, 4))),
+            upsample_initial_channel=int(
+                config.get('upsample_initial_channel', 512)),
+            resblock_kernel_sizes=tuple(
+                config.get('resblock_kernel_sizes', (3, 7, 11))),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in config.get(
+                    'resblock_dilation_sizes',
+                    ((1, 3, 5), (1, 3, 5), (1, 3, 5)))),
+            num_mels=int(config.get('num_mels', 80)),
+            dtype=dtype)
+
+
+class MelGANResStack(nn.Module):
+    """seungwonpark/melgan ResStack: 3 residual units with 3**i-dilated k=3
+    reflection-padded convs + 1x1 follow-up, each summed with a 1x1 shortcut
+    conv of the input."""
+    channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.blocks_conv1 = [
+            _Conv(self.channels, 3, dilation=3 ** i, dtype=self.dtype)
+            for i in range(3)]
+        self.blocks_conv2 = [
+            _Conv(self.channels, 1, dtype=self.dtype) for _ in range(3)]
+        self.shortcuts = [
+            _Conv(self.channels, 1, dtype=self.dtype) for _ in range(3)]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(3):
+            pad = 3 ** i
+            xt = nn.leaky_relu(x, 0.2)
+            xt = jnp.pad(xt, ((0, 0), (pad, pad), (0, 0)), mode='reflect')
+            xt = self.blocks_conv1[i](xt)
+            xt = nn.leaky_relu(xt, 0.2)
+            xt = self.blocks_conv2[i](xt)
+            x = self.shortcuts[i](x) + xt
+        return x
+
+
+class MelGANGenerator(nn.Module):
+    """seungwonpark/melgan Generator (hop 256 = 8*8*2*2).
+
+    Input [B, T, n_mels] log-mel -> [B, T*256] waveform. ``inference``
+    reproduces the published tail-padding trick (10 frames of
+    log(1e-5) = -11.5129 appended to suppress the end-of-utterance
+    artifact).
+    """
+    mel_channels: int = 80
+    base_channels: int = 512
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    dtype: Any = jnp.float32
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    def setup(self):
+        self.conv_pre = _Conv(self.base_channels, 7, dtype=self.dtype)
+        ups, res = [], []
+        ch = self.base_channels
+        for u in self.upsample_rates:
+            ch //= 2
+            ups.append(TransposedConv1d(ch, 2 * u, stride=u, padding=u // 2,
+                                        dtype=self.dtype))
+            res.append(MelGANResStack(ch, dtype=self.dtype))
+        self.ups = ups
+        self.res = res
+        self.conv_post = _Conv(1, 7, dtype=self.dtype)
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.pad(mel.astype(self.dtype), ((0, 0), (3, 3), (0, 0)),
+                    mode='reflect')
+        x = self.conv_pre(x)
+        for up, stack in zip(self.ups, self.res):
+            x = up(nn.leaky_relu(x, 0.2))
+            x = stack(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = jnp.pad(x, ((0, 0), (3, 3), (0, 0)), mode='reflect')
+        x = jnp.tanh(self.conv_post(x))
+        return x[..., 0]
+
+    def inference(self, mel: jnp.ndarray, pad_frames: int = 10
+                  ) -> jnp.ndarray:
+        tail = jnp.full(mel.shape[:1] + (pad_frames,) + mel.shape[2:],
+                        PAD_VALUE, mel.dtype)
+        wav = self(jnp.concatenate([mel, tail], axis=1))
+        # published inference crops the pad_frames*hop tail back off
+        return wav[:, :mel.shape[1] * self.hop_length]

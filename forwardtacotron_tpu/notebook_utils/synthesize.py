@@ -18,13 +18,47 @@ from forwardtacotron_tpu.utils.checkpoints import \
     init_tts_model_from_checkpoint
 
 
+def make_neural_vocoder(checkpoint_path: str, vocoder_type: str = 'hifigan',
+                        config: Optional[dict] = None
+                        ) -> Callable[[np.ndarray], np.ndarray]:
+    """[n_mels, T] log-mel -> waveform callable backed by the JAX HiFi-GAN /
+    MelGAN generators (models/vocoder.py) with published torch weights."""
+    from forwardtacotron_tpu.utils.vocoder_checkpoints import (load_hifigan,
+                                                               load_melgan)
+    if vocoder_type == 'hifigan':
+        model, variables = load_hifigan(checkpoint_path, config=config)
+    elif vocoder_type == 'melgan':
+        model, variables = load_melgan(checkpoint_path)
+    else:
+        raise ValueError(f'unknown vocoder_type: {vocoder_type}')
+
+    def vocode(mel: np.ndarray) -> np.ndarray:
+        batched = np.asarray(mel, np.float32).T[None]
+        if vocoder_type == 'melgan':
+            wav = model.apply(variables, batched, method=model.inference)
+        else:
+            wav = model.apply(variables, batched)
+        return np.asarray(wav, np.float32)[0]
+
+    return vocode
+
+
 class Synthesizer:
 
     def __init__(self, checkpoint_path: str,
-                 vocoder: Optional[Callable[[np.ndarray], np.ndarray]] = None
-                 ) -> None:
+                 vocoder: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                 vocoder_checkpoint: Optional[str] = None,
+                 vocoder_type: str = 'hifigan',
+                 vocoder_config: Optional[dict] = None) -> None:
         """``vocoder`` maps a [n_mels, T] log-mel to a waveform; defaults to
-        Griffin-Lim. Plug in a neural vocoder callable for higher quality."""
+        Griffin-Lim. Alternatively pass ``vocoder_checkpoint`` (published
+        HiFi-GAN/MelGAN generator weights, ``vocoder_type`` selects which)
+        to vocode with the on-device JAX generators — the reference's
+        notebook pulls a torch.hub MelGAN here instead
+        (reference notebook_utils/synthesize.py:11-49)."""
+        if vocoder is None and vocoder_checkpoint is not None:
+            vocoder = make_neural_vocoder(vocoder_checkpoint, vocoder_type,
+                                          vocoder_config)
         model, variables, checkpoint = init_tts_model_from_checkpoint(
             checkpoint_path)
         self.config = checkpoint['config']

@@ -35,6 +35,14 @@ def main():
                         help='shard the batch over all visible devices')
     parser.add_argument('vocoder', nargs='?', default='griffinlim',
                         choices=['griffinlim', 'melgan', 'hifigan'])
+    parser.add_argument('--vocoder_checkpoint', default=None,
+                        help='published HiFi-GAN/MelGAN generator weights; '
+                             'when given, vocoding runs on-device here '
+                             '(JAX generators) and .wav files are written '
+                             'instead of mel exports')
+    parser.add_argument('--vocoder_config', default=None,
+                        help='HiFi-GAN config.json for --vocoder_checkpoint '
+                             '(v1 defaults if omitted)')
     args = parser.parse_args()
 
     from forwardtacotron_tpu.dsp.dsp import DSP
@@ -114,11 +122,40 @@ def main():
             out = inference.generate_cropped(x, **kwargs)
             mels.append(np.asarray(out['mel_post'], np.float32))
 
+    neural_vocoder = None
+    if args.vocoder_checkpoint and args.vocoder in ('melgan', 'hifigan'):
+        import jax.numpy as jnp
+        from forwardtacotron_tpu.utils.vocoder_checkpoints import (
+            load_hifigan, load_melgan)
+        voc_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+        if args.vocoder == 'hifigan':
+            voc_config = None
+            if args.vocoder_config:
+                import json
+                voc_config = json.loads(
+                    Path(args.vocoder_config).read_text())
+            voc_model, voc_vars = load_hifigan(
+                args.vocoder_checkpoint, config=voc_config, dtype=voc_dtype)
+        else:
+            voc_model, voc_vars = load_melgan(
+                args.vocoder_checkpoint, dtype=voc_dtype)
+
+        def neural_vocoder(mel):  # [n_mels, T] log-mel -> waveform
+            batched = mel.T[None].astype(np.float32)
+            if args.vocoder == 'melgan':
+                wav = voc_model.apply(voc_vars, batched,
+                                      method=voc_model.inference)
+            else:
+                wav = voc_model.apply(voc_vars, batched)
+            return np.asarray(wav, np.float32)[0]
+
     for i, mel in enumerate(mels, 1):
         name = f'{i}_forward_{int(checkpoint["step"] / 1000)}k_alpha{args.alpha}'
         if args.vocoder == 'griffinlim':
             wav = dsp.griffinlim(mel)
             dsp.save_wav(wav, out_dir / f'{name}.wav')
+        elif neural_vocoder is not None:
+            dsp.save_wav(neural_vocoder(mel), out_dir / f'{name}.wav')
         elif args.vocoder == 'melgan':
             import torch
             torch.save(torch.tensor(mel)[None, :, :], out_dir / f'{name}.mel')
