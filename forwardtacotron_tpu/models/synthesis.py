@@ -38,6 +38,45 @@ def bucket_frames(n: int, bucket: int = 128, max_frames: int = 16384) -> int:
     return min(max_frames, int(math.ceil(max(n, 1) / bucket)) * bucket)
 
 
+class JittedVocoder:
+    """Batched [B, T, n_mels] -> [B, T*hop] neural vocoding for the serving
+    path: wraps a models/vocoder.py generator + variables as a jitted
+    callable (one compile per input shape — generate_routed's frame buckets
+    keep that set small). Pass as ``vocoder=`` to
+    :meth:`TTSInference.generate_routed`."""
+
+    def __init__(self, model, variables: Dict[str, Any],
+                 dtype: str = 'bfloat16'):
+        if dtype == 'bfloat16':
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
+                variables)
+            model = model.replace(dtype=jnp.bfloat16) \
+                if hasattr(model, 'replace') else model
+        self.model = model
+        self.variables = variables
+        self.hop_length = int(model.hop_length)
+        self._fn = jax.jit(lambda v, m: model.apply(v, m))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, vocoder_type: str = 'hifigan',
+                        config: Optional[dict] = None,
+                        dtype: str = 'bfloat16') -> 'JittedVocoder':
+        from forwardtacotron_tpu.utils.vocoder_checkpoints import (
+            load_hifigan, load_melgan)
+        if vocoder_type == 'hifigan':
+            model, variables = load_hifigan(path, config=config)
+        elif vocoder_type == 'melgan':
+            model, variables = load_melgan(path)
+        else:
+            raise ValueError(f'unknown vocoder_type: {vocoder_type}')
+        return cls(model, variables, dtype=dtype)
+
+    def __call__(self, mel: Array) -> Array:
+        return self._fn(self.variables, mel.astype(jnp.float32))
+
+
 class TTSInference:
     """Wraps a (model, variables) pair with the two-phase generate flow.
 
@@ -234,7 +273,8 @@ class TTSInference:
                         alpha: float = 1.0,
                         frame_bucket: int = 128,
                         pitch_function: Callable = lambda p: p,
-                        energy_function: Callable = lambda e: e
+                        energy_function: Callable = lambda e: e,
+                        vocoder: Optional[Callable] = None
                         ) -> Dict[str, Array]:
         """Length-aware batched synthesis: decode in per-length groups.
 
@@ -250,6 +290,12 @@ class TTSInference:
 
         Compiles one decode executable per (group size, bucket) pair —
         steady-state serving with a stable batch size reuses them all.
+
+        ``vocoder``: optional batched [B, T, n_mels] -> [B, T*hop] callable
+        (e.g. JittedVocoder over models/vocoder.py). It runs inside the
+        per-bucket loop, so neural vocoding inherits the routing: each group
+        is vocoded at its own static frame budget. Adds 'wav' (padded to the
+        batch max) and 'wav_len' to the outputs.
         """
         x = jnp.asarray(x)
         if x.ndim == 1:
@@ -284,7 +330,10 @@ class TTSInference:
             args += [dur[gi], pitch[gi], energy[gi]]
             if self.multispeaker:
                 args.append(series['pitch_cond'][gi])
-            out_parts[int(bucket)] = decode(*args)
+            out = decode(*args)
+            if vocoder is not None:
+                out['wav'] = vocoder(out['mel_post'])
+            out_parts[int(bucket)] = out
 
         b = x.shape[0]
         max_bucket = int(buckets.max())
@@ -296,7 +345,7 @@ class TTSInference:
             for bucket, idx in group_idx.items():
                 part = out_parts[bucket][key]
                 if part.ndim >= 2 and part.shape[1] != shape[1] \
-                        and key in ('mel', 'mel_post'):
+                        and key in ('mel', 'mel_post', 'wav'):
                     part = jnp.pad(
                         part, ((0, 0), (0, shape[1] - part.shape[1]))
                         + ((0, 0),) * (part.ndim - 2))
@@ -304,6 +353,9 @@ class TTSInference:
             merged[key] = acc
         merged['mel_len'] = jnp.asarray(
             np.minimum(mel_lens, buckets).astype(np.int64))
+        if vocoder is not None and 'wav' in merged:
+            hop = merged['wav'].shape[1] // max_bucket
+            merged['wav_len'] = merged['mel_len'] * hop
         return merged
 
     def generate_cropped(self, x, **kwargs) -> Dict[str, np.ndarray]:

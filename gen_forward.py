@@ -104,17 +104,38 @@ def main():
     if multispeaker:
         kwargs['speaker_emb'] = speaker_emb
 
+    jitted_vocoder = None
+    neural_vocoder = None
+    if args.vocoder_checkpoint and args.vocoder in ('melgan', 'hifigan'):
+        from forwardtacotron_tpu.models.synthesis import JittedVocoder
+        voc_config = None
+        if args.vocoder == 'hifigan' and args.vocoder_config:
+            import json
+            voc_config = json.loads(Path(args.vocoder_config).read_text())
+        jitted_vocoder = JittedVocoder.from_checkpoint(
+            args.vocoder_checkpoint, vocoder_type=args.vocoder,
+            config=voc_config, dtype=args.dtype)
+
+        def neural_vocoder(mel):  # [n_mels, T] log-mel -> waveform
+            wav = jitted_vocoder(np.ascontiguousarray(mel.T)[None])
+            return np.asarray(wav, np.float32)[0]
+
+    wavs = None
     if args.batched and len(sentences) > 1:
         token_lists = [tokenizer(cleaner(s)) for s in sentences]
         max_n = max(len(t) for t in token_lists)
         x = np.zeros((len(token_lists), max_n), np.int64)
         for i, toks in enumerate(token_lists):
             x[i, :len(toks)] = toks
-        # routed: each sentence decodes at its own frame bucket instead of
-        # the longest sentence's (same outputs, less wasted decode compute)
-        out = inference.generate_routed(x, **kwargs)
+        # routed: each sentence decodes (and neural-vocodes) at its own frame
+        # bucket instead of the longest sentence's (same outputs, less wasted
+        # decode compute)
+        out = inference.generate_routed(x, vocoder=jitted_vocoder, **kwargs)
         mels = [np.asarray(out['mel_post'], np.float32)[i, :int(out['mel_len'][i])].T
                 for i in range(len(sentences))]
+        if jitted_vocoder is not None:
+            wavs = [np.asarray(out['wav'], np.float32)[i, :int(out['wav_len'][i])]
+                    for i in range(len(sentences))]
     else:
         mels = []
         for sentence in sentences:
@@ -122,40 +143,14 @@ def main():
             out = inference.generate_cropped(x, **kwargs)
             mels.append(np.asarray(out['mel_post'], np.float32))
 
-    neural_vocoder = None
-    if args.vocoder_checkpoint and args.vocoder in ('melgan', 'hifigan'):
-        import jax.numpy as jnp
-        from forwardtacotron_tpu.utils.vocoder_checkpoints import (
-            load_hifigan, load_melgan)
-        voc_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
-        if args.vocoder == 'hifigan':
-            voc_config = None
-            if args.vocoder_config:
-                import json
-                voc_config = json.loads(
-                    Path(args.vocoder_config).read_text())
-            voc_model, voc_vars = load_hifigan(
-                args.vocoder_checkpoint, config=voc_config, dtype=voc_dtype)
-        else:
-            voc_model, voc_vars = load_melgan(
-                args.vocoder_checkpoint, dtype=voc_dtype)
-
-        def neural_vocoder(mel):  # [n_mels, T] log-mel -> waveform
-            batched = mel.T[None].astype(np.float32)
-            if args.vocoder == 'melgan':
-                wav = voc_model.apply(voc_vars, batched,
-                                      method=voc_model.inference)
-            else:
-                wav = voc_model.apply(voc_vars, batched)
-            return np.asarray(wav, np.float32)[0]
-
     for i, mel in enumerate(mels, 1):
         name = f'{i}_forward_{int(checkpoint["step"] / 1000)}k_alpha{args.alpha}'
         if args.vocoder == 'griffinlim':
             wav = dsp.griffinlim(mel)
             dsp.save_wav(wav, out_dir / f'{name}.wav')
         elif neural_vocoder is not None:
-            dsp.save_wav(neural_vocoder(mel), out_dir / f'{name}.wav')
+            wav = wavs[i - 1] if wavs is not None else neural_vocoder(mel)
+            dsp.save_wav(wav, out_dir / f'{name}.wav')
         elif args.vocoder == 'melgan':
             import torch
             torch.save(torch.tensor(mel)[None, :, :], out_dir / f'{name}.mel')

@@ -60,6 +60,9 @@ def main():
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--which', default='all',
                         choices=['all', 'hifigan_v1', 'hifigan_v2', 'melgan'])
+    parser.add_argument('--ab_upsampler', action='store_true',
+                        help='bench each model with both the polyphase and '
+                             'the input-dilated transposed-conv formulation')
     args = parser.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
 
@@ -77,13 +80,19 @@ def main():
     if args.which in ('all', 'melgan'):
         targets.append(('melgan', MelGANGenerator(dtype=dtype)))
 
+    from forwardtacotron_tpu.models import vocoder as vocoder_mod
+    modes = ((True, 'poly'), (False, 'direct')) if args.ab_upsampler \
+        else ((vocoder_mod.POLYPHASE, ''),)
     for name, model in targets:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1])
-        fn = jax.jit(lambda v, m, model=model: model.apply(v, m))
-        dt = chained(lambda m: fn(variables, m), mel)
-        print(f'{name:12s} {audio_s / dt:12.0f} audio-s/s/chip '
-              f'(batch {args.batch} x {args.frames} frames, {args.dtype})',
-              flush=True)
+        for poly, tag in modes:
+            vocoder_mod.POLYPHASE = poly
+            fn = jax.jit(lambda v, m, model=model: model.apply(v, m))
+            dt = chained(lambda m: fn(variables, m), mel)
+            label = f'{name}{"/" + tag if tag else ""}'
+            print(f'{label:18s} {audio_s / dt:12.0f} audio-s/s/chip '
+                  f'(batch {args.batch} x {args.frames} frames, '
+                  f'{args.dtype})', flush=True)
 
 
 if __name__ == '__main__':

@@ -289,6 +289,110 @@ def test_gen_forward_cli_neural_vocoder(tmp_path):
     assert not list(out_dir.glob('*.npy'))  # vocoded, not exported
 
 
+@pytest.mark.parametrize('poly', [True, False])
+@pytest.mark.parametrize('k,s,p', [(16, 8, 4), (4, 2, 1), (8, 4, 2)])
+def test_polyphase_matches_input_dilated(k, s, p, poly):
+    """Both transposed-conv formulations (polyphase and input-dilated) equal
+    torch.ConvTranspose1d for every upsampler geometry in these models."""
+    import jax
+
+    from forwardtacotron_tpu.models import vocoder as vocoder_mod
+    from forwardtacotron_tpu.models.vocoder import TransposedConv1d
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 11, 6).astype(np.float32)
+    m = TransposedConv1d(features=5, kernel_size=k, stride=s, padding=p)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    old = vocoder_mod.POLYPHASE
+    try:
+        vocoder_mod.POLYPHASE = poly
+        got = np.asarray(m.apply(variables, x))
+    finally:
+        vocoder_mod.POLYPHASE = old
+
+    kern = np.asarray(variables['params']['kernel'])  # pre-flipped [K,I,O]
+    tconv = tnn.ConvTranspose1d(6, 5, k, s, padding=p)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(
+            np.ascontiguousarray(kern[::-1].transpose(1, 2, 0))))
+        tconv.bias.copy_(torch.from_numpy(
+            np.asarray(variables['params']['bias'])))
+        want = tconv(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 1),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_generate_routed_with_vocoder():
+    """vocoder= hook in generate_routed: each frame-bucket group is vocoded
+    at its own static length; outputs carry 'wav' (padded to the batch max)
+    and 'wav_len' = mel_len * hop, and each request's wav equals vocoding
+    its own bucket-cropped mel directly."""
+    import jax
+    import yaml
+    from pathlib import Path
+
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import (JittedVocoder,
+                                                      TTSInference)
+    from forwardtacotron_tpu.models.vocoder import HiFiGANGenerator
+
+    repo = Path(__file__).resolve().parent.parent
+    config = yaml.safe_load(
+        (repo / 'tests' / 'resources' / 'test_config.yaml').read_text())
+    model = init_tts_model(config)
+    rs = np.random.RandomState(3)
+    b, n = 3, 9
+    x = rs.randint(1, 100, (b, n)).astype(np.int64)
+    batch = {'x': x,
+             'dur': np.full((b, n), 3.0, np.float32),
+             'mel_len': np.full((b,), 3 * n, np.int64),
+             'pitch': rs.randn(b, n).astype(np.float32),
+             'energy': rs.rand(b, n).astype(np.float32),
+             'mel': np.zeros((b, 3 * n, config['dsp']['num_mels']),
+                             np.float32)}
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           batch, train=False)
+    inf = TTSInference(model, variables, multispeaker=False)
+
+    import jax.numpy as jnp
+    orig_predict = inf._predict
+    scale = jnp.asarray([[0.5], [1.5], [4.0]])
+
+    def scaled_predict(v, xq, alpha):
+        out = dict(orig_predict(v, xq, alpha))
+        out['dur'] = out['dur'] * scale[:xq.shape[0]]
+        return out
+
+    inf._predict = scaled_predict
+
+    voc_model = HiFiGANGenerator.from_config(
+        dict(upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+             upsample_initial_channel=16, resblock_kernel_sizes=[3],
+             resblock_dilation_sizes=[[1, 2]], resblock='2',
+             num_mels=config['dsp']['num_mels']))
+    voc_vars = voc_model.init(
+        jax.random.PRNGKey(1),
+        np.zeros((1, 8, config['dsp']['num_mels']), np.float32))
+    vocoder = JittedVocoder(voc_model, voc_vars, dtype='float32')
+    assert vocoder.hop_length == 8
+
+    out = inf.generate_routed(x, frame_bucket=16, vocoder=vocoder)
+    lens = np.asarray(out['mel_len'])
+    buckets = [int(-(-max(int(v), 1) // 16)) * 16 for v in lens]
+    assert len(set(buckets)) > 1, 'requests must span multiple buckets'
+    assert out['wav'].shape == (b, max(buckets) * 8)
+    np.testing.assert_array_equal(np.asarray(out['wav_len']), lens * 8)
+    wav = np.asarray(out['wav'])
+    assert np.isfinite(wav).all()
+    mel_post = np.asarray(out['mel_post'])
+    for i in range(b):
+        direct = np.asarray(vocoder(
+            jnp.asarray(mel_post[i:i + 1, :buckets[i]])))[0]
+        np.testing.assert_allclose(wav[i, :buckets[i] * 8], direct,
+                                   rtol=0, atol=1e-5, err_msg=f'wav[{i}]')
+
+
 def test_weight_norm_fold_matches_torch():
     from forwardtacotron_tpu.utils.vocoder_checkpoints import \
         fold_weight_norm
