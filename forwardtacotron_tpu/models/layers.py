@@ -134,8 +134,11 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
             from forwardtacotron_tpu.ops.pallas import rnn_train
             return rnn_train.bidir_rnn_trainable_sharded(
                 x, lengths, fwd_params, bwd_params, hidden, cell)
+        # int8 kernels additionally need lane-aligned input features
+        quant = (pallas_rnn.pallas_rnns_quantized()
+                 and x.shape[-1] % 128 == 0)
         return pallas_rnn.bidir_rnn_pallas(
-            x, lengths, fwd_params, bwd_params, hidden, cell)
+            x, lengths, fwd_params, bwd_params, hidden, cell, quant=quant)
 
     wi_f, wh_f, bi_f, bh_f = fwd_params
     wi_b, wh_b, bi_b, bh_b = bwd_params

@@ -21,14 +21,16 @@ from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
 Array = jnp.ndarray
 
 
-def _jit_serving(fn, use_pallas: bool = True):
+def _jit_serving(fn, use_pallas: bool = True, rnn_mode: str = 'on'):
     """jit with the fused Pallas RNN kernels enabled during tracing (they
     apply on TPU in bf16 mode; inference-only, so no VJP is needed).
     ``use_pallas=False`` keeps the XLA scan path — used for multi-device
     meshes, where GSPMD partitioning of the handwritten kernels is not
-    exercised (single-chip serving is the Pallas fast path)."""
+    exercised (single-chip serving is the Pallas fast path). ``rnn_mode``
+    'int8' selects the weight+activation-quantized kernels for the
+    frame-rate RNNs (int8 MXU rate; see ops/pallas/rnn.py)."""
     def traced(*args):
-        with pallas_rnns('on' if use_pallas else 'off'):
+        with pallas_rnns(rnn_mode if use_pallas else 'off'):
             return fn(*args)
     return jax.jit(traced)
 
@@ -94,17 +96,23 @@ class TTSInference:
         to bf16 for ~2x MXU/bandwidth throughput at a small accuracy cost —
         keep float32 when bit-level parity with the reference matters.
 
+        ``dtype='int8'`` additionally routes the frame-rate RNNs through the
+        int8-quantized Pallas kernels (weights per-column int8, activations
+        dynamic per-tensor int8, f32 gate math) — the MXU's int8 rate is 2x
+        its bf16 rate on v5e+; everything else stays bf16.
+
         ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
         parameters are replicated, request batches sharded over the 'data'
         axis (padded up to a multiple of its size), and GSPMD partitions the
         whole generate graph; throughput scales with the mesh (the reference
         has no multi-device serving story at all)."""
         self.model = model
-        if dtype == 'bfloat16':
+        if dtype in ('bfloat16', 'int8'):
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
                 variables)
+        self._rnn_mode = 'int8' if dtype == 'int8' else 'on'
         self.mesh = mesh
         self._use_pallas = mesh is None or int(mesh.devices.size) == 1
         if mesh is not None:
@@ -120,12 +128,12 @@ class TTSInference:
             self._predict = _jit_serving(
                 lambda v, x, semb, alpha: model.apply(
                     v, x, semb, alpha, method=type(model).predict_series),
-                self._use_pallas)
+                self._use_pallas, self._rnn_mode)
         else:
             self._predict = _jit_serving(
                 lambda v, x, alpha: model.apply(
                     v, x, alpha, method=type(model).predict_series),
-                self._use_pallas)
+                self._use_pallas, self._rnn_mode)
         # one fused dispatch for the host-visible frame counts: eager
         # elementwise chains cost several kernel launches per call
         self._lengths = jax.jit(
@@ -140,11 +148,12 @@ class TTSInference:
             if self.multispeaker:
                 fn = _jit_serving(lambda v, x, semb, d, p, e, pc: model.apply(
                     v, x, semb, d, p, e, pc, max_len,
-                    method=type(model).generate), self._use_pallas)
+                    method=type(model).generate),
+                    self._use_pallas, self._rnn_mode)
             else:
                 fn = _jit_serving(lambda v, x, d, p, e: model.apply(
                     v, x, d, p, e, max_len, method=type(model).generate),
-                    self._use_pallas)
+                    self._use_pallas, self._rnn_mode)
             self._decode_cache[max_len] = fn
         return fn
 
@@ -244,7 +253,7 @@ class TTSInference:
                                       method=type(model).generate)
                     out['mel_len'] = expanded_lengths(s['dur'])
                     return out
-            fn = _jit_serving(fused, self._use_pallas)
+            fn = _jit_serving(fused, self._use_pallas, self._rnn_mode)
             self._decode_cache[key] = fn
         return fn
 

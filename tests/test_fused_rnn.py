@@ -187,3 +187,34 @@ def test_generate_routed_matches_two_phase():
             np.testing.assert_allclose(a[i, :li], r[i, :li],
                                        rtol=0, atol=1e-5,
                                        err_msg=f'{key}[{i}]')
+
+
+@pytest.mark.parametrize('cell', ['gru', 'lstm'])
+def test_pallas_bidir_rnn_int8_close_to_scan(cell):
+    """int8-quantized kernels (interpret mode): per-column weight quant +
+    per-tensor activation quant + int8 hidden-state carry must stay close to
+    the f32 scan — loose tolerance, this is a lossy serving mode."""
+    from forwardtacotron_tpu.models.layers import _lstm_step
+    from forwardtacotron_tpu.ops.pallas.rnn import bidir_rnn_pallas
+
+    rs = np.random.RandomState(7)
+    b, t, in_dim, hidden = 32, 12, 128, 128
+    g = 4 if cell == 'lstm' else 3
+
+    def mk():
+        return tuple(jnp.asarray(
+            rs.uniform(-0.3, 0.3, s).astype(np.float32))
+            for s in ((in_dim, g * hidden), (hidden, g * hidden),
+                      (g * hidden,), (g * hidden,)))
+
+    x = jnp.asarray((rs.randn(b, t, in_dim) * 0.5).astype(np.float32))
+    fwd, bwd = mk(), mk()
+    step = _lstm_step if cell == 'lstm' else _gru_step
+    n_carry = 2 if cell == 'lstm' else 1
+    ref = np.asarray(_bidir_scan(x, None, fwd, bwd, step, hidden, n_carry))
+    out = np.asarray(bidir_rnn_pallas(x, None, fwd, bwd, hidden, cell,
+                                      interpret=True, quant=True))
+    err = np.abs(out - ref)
+    scale = np.abs(ref).max()
+    assert err.max() < 0.05 * max(scale, 1.0), err.max()
+    assert err.mean() < 0.01 * max(scale, 1.0), err.mean()
