@@ -19,14 +19,41 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
-def initialize_distributed() -> None:
+def initialize_distributed() -> bool:
     """Initialize the multi-host JAX runtime when launched under a
-    multi-process coordinator (no-op for single-process runs)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    multi-process coordinator (no-op for single-process runs).
+
+    MUST run before any JAX computation or backend query — touching the
+    backend (even ``jax.process_count()``) initializes single-process XLA and
+    makes ``jax.distributed.initialize`` fail. The decision is therefore made
+    purely from the environment:
+
+    - ``JAX_COORDINATOR_ADDRESS`` set -> explicit bootstrap; optional
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` / ``JAX_LOCAL_DEVICE_IDS``
+      override what JAX's cluster autodetection would pick up.
+    - not set -> single-process run (Cloud-TPU pod launches export it, or use
+      ``jax.distributed.initialize()`` yourself before calling the trainers).
+
+    Returns True when the distributed runtime is (now) initialized. Safe to
+    call twice: a second call is a no-op.
+    """
+    if jax.distributed.is_initialized():
+        return True
     coord = os.environ.get('JAX_COORDINATOR_ADDRESS')
-    if coord:
-        jax.distributed.initialize()
+    if not coord:
+        return False
+    kwargs = {'coordinator_address': coord}
+    num_processes = os.environ.get('JAX_NUM_PROCESSES')
+    process_id = os.environ.get('JAX_PROCESS_ID')
+    local_ids = os.environ.get('JAX_LOCAL_DEVICE_IDS')
+    if num_processes is not None:
+        kwargs['num_processes'] = int(num_processes)
+    if process_id is not None:
+        kwargs['process_id'] = int(process_id)
+    if local_ids:
+        kwargs['local_device_ids'] = [int(i) for i in local_ids.split(',')]
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(n_data: Optional[int] = None,
@@ -73,7 +100,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate_tree(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    """Place every leaf fully replicated over the mesh. Multi-host: each
+    process contributes its (identical) host copy shard-by-shard, since a
+    process-local array cannot be device_put onto non-addressable devices."""
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(leaf):
+        value = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            value.shape, sharding, lambda idx: value[idx])
+    return jax.tree.map(put, tree)
 
 
 def pad_batch_to_devices(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
