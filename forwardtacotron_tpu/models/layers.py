@@ -137,8 +137,15 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
         # int8 kernels additionally need lane-aligned input features
         quant = (pallas_rnn.pallas_rnns_quantized()
                  and x.shape[-1] % 128 == 0)
-        return pallas_rnn.bidir_rnn_pallas(
+        if pallas_rnn.pallas_rnns_quantized() and not quant:
+            pallas_rnn.warn_int8_fallback(x.shape[-1], hidden)
+        # the _sharded variant shard_maps over the data axis when the
+        # serving jit is partitioned over a mesh (and is a plain call when
+        # not), so multi-device serving keeps the fused kernels
+        return pallas_rnn.bidir_rnn_pallas_sharded(
             x, lengths, fwd_params, bwd_params, hidden, cell, quant=quant)
+    if pallas_rnn.pallas_rnns_quantized():
+        pallas_rnn.warn_int8_fallback(x.shape[-1], hidden, to='XLA lax.scan')
 
     wi_f, wh_f, bi_f, bh_f = fwd_params
     wi_b, wh_b, bi_b, bh_b = bwd_params
@@ -263,9 +270,9 @@ def multi_bigru(entries) -> list:
 
     from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
     if pallas_rnn.eligible(dtype, 16, H):
-        hs, b_true = pallas_rnn.gru_from_xp_pallas(
+        hs = pallas_rnn.gru_from_xp_pallas_sharded(
             regroup(0), regroup(1), wh_comb, bh_comb, H)
-        hs = jnp.transpose(hs, (2, 0, 1, 3))[:b_true]    # [B, T, 2, H]
+        hs = jnp.transpose(hs, (2, 0, 1, 3))             # [B, T, 2, H]
     else:
         xp = jnp.stack([regroup(0), regroup(1)], axis=2)  # [B, T, 2, 3H]
         xp = jnp.swapaxes(xp, 0, 1)

@@ -21,16 +21,18 @@ from forwardtacotron_tpu.ops.pallas.rnn import pallas_rnns
 Array = jnp.ndarray
 
 
-def _jit_serving(fn, use_pallas: bool = True, rnn_mode: str = 'on'):
+def _jit_serving(fn, rnn_mode: str = 'on', mesh=None):
     """jit with the fused Pallas RNN kernels enabled during tracing (they
     apply on TPU in bf16 mode; inference-only, so no VJP is needed).
-    ``use_pallas=False`` keeps the XLA scan path — used for multi-device
-    meshes, where GSPMD partitioning of the handwritten kernels is not
-    exercised (single-chip serving is the Pallas fast path). ``rnn_mode``
-    'int8' selects the weight+activation-quantized kernels for the
-    frame-rate RNNs (int8 MXU rate; see ops/pallas/rnn.py)."""
+    ``rnn_mode`` 'int8' selects the weight+activation-quantized kernels for
+    every 128-aligned RNN (see ops/pallas/rnn.py). ``mesh``: when the
+    serving jit is GSPMD-partitioned over a data-parallel mesh, the kernels
+    shard_map themselves over its 'data' axis (batch split per device,
+    weights replicated) — handwritten Pallas kernels carry no partitioning
+    rules, so without this multi-device serving would lose the fused
+    kernels that set single-chip throughput."""
     def traced(*args):
-        with pallas_rnns(rnn_mode if use_pallas else 'off'):
+        with pallas_rnns(rnn_mode, mesh=mesh):
             return fn(*args)
     return jax.jit(traced)
 
@@ -96,16 +98,20 @@ class TTSInference:
         to bf16 for ~2x MXU/bandwidth throughput at a small accuracy cost —
         keep float32 when bit-level parity with the reference matters.
 
-        ``dtype='int8'`` additionally routes the frame-rate RNNs through the
-        int8-quantized Pallas kernels (weights per-column int8, activations
-        dynamic per-tensor int8, f32 gate math) — the MXU's int8 rate is 2x
-        its bf16 rate on v5e+; everything else stays bf16.
+        ``dtype='int8'`` additionally routes every int8-eligible RNN
+        (128-aligned in_dim and hidden: the frame-rate BiLSTM and the
+        prenet/postnet CBHG GRUs) through the int8-quantized Pallas kernels
+        (weights per-column int8, activations dynamic per-tensor int8, f32
+        gate math) — the MXU's int8 rate is 2x its bf16 rate on v5e+;
+        non-eligible RNNs warn once and stay bf16, everything else bf16.
 
         ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
         parameters are replicated, request batches sharded over the 'data'
         axis (padded up to a multiple of its size), and GSPMD partitions the
-        whole generate graph; throughput scales with the mesh (the reference
-        has no multi-device serving story at all)."""
+        whole generate graph; the Pallas RNN kernels shard_map themselves
+        over the 'data' axis so the mesh path keeps them. Throughput scales
+        with the mesh (the reference has no multi-device serving story at
+        all)."""
         self.model = model
         if dtype in ('bfloat16', 'int8'):
             variables = jax.tree.map(
@@ -114,7 +120,8 @@ class TTSInference:
                 variables)
         self._rnn_mode = 'int8' if dtype == 'int8' else 'on'
         self.mesh = mesh
-        self._use_pallas = mesh is None or int(mesh.devices.size) == 1
+        self._serving_mesh = mesh \
+            if mesh is not None and int(mesh.devices.size) > 1 else None
         if mesh is not None:
             from forwardtacotron_tpu.parallel.mesh import replicated
             variables = jax.device_put(variables, replicated(mesh))
@@ -128,12 +135,12 @@ class TTSInference:
             self._predict = _jit_serving(
                 lambda v, x, semb, alpha: model.apply(
                     v, x, semb, alpha, method=type(model).predict_series),
-                self._use_pallas, self._rnn_mode)
+                self._rnn_mode, self._serving_mesh)
         else:
             self._predict = _jit_serving(
                 lambda v, x, alpha: model.apply(
                     v, x, alpha, method=type(model).predict_series),
-                self._use_pallas, self._rnn_mode)
+                self._rnn_mode, self._serving_mesh)
         # one fused dispatch for the host-visible frame counts: eager
         # elementwise chains cost several kernel launches per call
         self._lengths = jax.jit(
@@ -149,11 +156,11 @@ class TTSInference:
                 fn = _jit_serving(lambda v, x, semb, d, p, e, pc: model.apply(
                     v, x, semb, d, p, e, pc, max_len,
                     method=type(model).generate),
-                    self._use_pallas, self._rnn_mode)
+                    self._rnn_mode, self._serving_mesh)
             else:
                 fn = _jit_serving(lambda v, x, d, p, e: model.apply(
                     v, x, d, p, e, max_len, method=type(model).generate),
-                    self._use_pallas, self._rnn_mode)
+                    self._rnn_mode, self._serving_mesh)
             self._decode_cache[max_len] = fn
         return fn
 
@@ -253,7 +260,7 @@ class TTSInference:
                                       method=type(model).generate)
                     out['mel_len'] = expanded_lengths(s['dur'])
                     return out
-            fn = _jit_serving(fused, self._use_pallas, self._rnn_mode)
+            fn = _jit_serving(fused, self._rnn_mode, self._serving_mesh)
             self._decode_cache[key] = fn
         return fn
 

@@ -95,6 +95,26 @@ def eligible(dtype, in_dim: int, hidden: int) -> bool:
             and jax.default_backend() == 'tpu')
 
 
+# RNN shapes that requested 'int8' but fell back (queryable so benchmarks
+# can assert the int8 path actually ran); warn once per shape, at trace time.
+INT8_FALLBACKS = set()
+
+
+def warn_int8_fallback(in_dim: int, hidden: int,
+                       to: str = 'bf16 Pallas kernel') -> None:
+    key = (in_dim, hidden, to)
+    if key in INT8_FALLBACKS:
+        return
+    INT8_FALLBACKS.add(key)
+    import warnings
+    warnings.warn(
+        f'int8 RNN mode requested, but an RNN with in_dim={in_dim}, '
+        f'hidden={hidden} is not int8-eligible (needs 128-aligned in_dim '
+        f'and hidden, bf16 input, TPU backend) — falling back to {to}. '
+        f'Throughput numbers will not reflect the int8 path for this RNN.',
+        stacklevel=3)
+
+
 def _pick_bb(b: int, cap: int = 256) -> int:
     """Batch tile: largest multiple of 16 dividing the padded batch."""
     for bb in (cap, 128, 64, 32, 16):
@@ -178,7 +198,12 @@ def _lstm_kernel_i8(x_ref, wi_ref, wh_ref, b_ref, si_ref, sh_ref,
                     out_ref, h_scr, c_scr):
     """int8 LSTM step: x/h/weights int8 on the MXU (int32 accumulation),
     per-output-column dequant scales applied in f32, cell state kept f32 in
-    scratch, hidden state requantized with the static (-1,1)*127 scale."""
+    scratch, hidden state requantized with the static (-1,1)*127 scale.
+
+    b/si/sh arrive pre-tiled to [2, BB, G]: slicing the gates of a
+    (dot + sublane-broadcast operand) MISCOMPILES under Mosaic (measured
+    max-error 1.7 on real v5e vs 0.002 interpret — same pattern the bf16 GRU
+    kernel documents as a crash); materialized operands are correct."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -193,9 +218,9 @@ def _lstm_kernel_i8(x_ref, wi_ref, wh_ref, b_ref, si_ref, sh_ref,
                              preferred_element_type=jnp.int32)
     gh = jax.lax.dot_general(h, wh_ref[...], dims,
                              preferred_element_type=jnp.int32)
-    gates = (gx.astype(jnp.float32) * si_ref[...][:, None, :]
-             + gh.astype(jnp.float32) * sh_ref[...][:, None, :]
-             + b_ref[...][:, None, :])
+    gates = (gx.astype(jnp.float32) * si_ref[...]
+             + gh.astype(jnp.float32) * sh_ref[...]
+             + b_ref[...])
 
     hd = h_scr.shape[-1]
     i = jax.nn.sigmoid(gates[..., :hd])
@@ -212,8 +237,9 @@ def _lstm_kernel_i8(x_ref, wi_ref, wh_ref, b_ref, si_ref, sh_ref,
 
 def _gru_kernel_i8(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, si_ref, sh_ref,
                    out_ref, h_scr):
-    """int8 GRU step (see _lstm_kernel_i8; biases arrive pre-tiled
-    [2, BB, G] like the bf16 GRU kernel)."""
+    """int8 GRU step (see _lstm_kernel_i8; biases AND scales arrive
+    pre-tiled [2, BB, G] — sublane-broadcast operands feeding sliced gates
+    miscompile under Mosaic)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -227,8 +253,8 @@ def _gru_kernel_i8(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, si_ref, sh_ref,
                               preferred_element_type=jnp.int32)
     ghi = jax.lax.dot_general(h, wh_ref[...], dims,
                               preferred_element_type=jnp.int32)
-    gx = gxi.astype(jnp.float32) * si_ref[...][:, None, :] + bi_ref[...]
-    gh = ghi.astype(jnp.float32) * sh_ref[...][:, None, :] + bh_ref[...]
+    gx = gxi.astype(jnp.float32) * si_ref[...] + bi_ref[...]
+    gh = ghi.astype(jnp.float32) * sh_ref[...] + bh_ref[...]
 
     hd = h_scr.shape[-1]
     r = jax.nn.sigmoid(gx[..., :hd] + gh[..., :hd])
@@ -369,17 +395,21 @@ def bidir_rnn_pallas(x: jnp.ndarray,
         sh = swh * (1.0 / 127.0)
         bi = jnp.stack([fwd_params[2], bwd_params[2]]).astype(jnp.float32)
         bh = jnp.stack([fwd_params[3], bwd_params[3]]).astype(jnp.float32)
+
+        def tile(v):  # [2, G] -> [2, BB, G] materialized (Mosaic-safe)
+            return jnp.broadcast_to(v[:, None, :], (2, bb) + v.shape[1:])
+
         if cell == 'lstm':
             scratch = [pltpu.VMEM((2, bb, hidden), jnp.int8),
                        pltpu.VMEM((2, bb, hidden), jnp.float32)]
-            hs = _run(_lstm_kernel_i8, (x2_q, wi_q, wh_q, bi + bh, si, sh),
+            hs = _run(_lstm_kernel_i8,
+                      (x2_q, wi_q, wh_q, tile(bi + bh), tile(si), tile(sh)),
                       t, b, bb, hidden, dtype, 2, interpret, scratch)
         else:
-            bi_t = jnp.broadcast_to(bi[:, None, :], (2, bb) + bi.shape[1:])
-            bh_t = jnp.broadcast_to(bh[:, None, :], (2, bb) + bh.shape[1:])
             scratch = [pltpu.VMEM((2, bb, hidden), jnp.int8)]
             hs = _run(_gru_kernel_i8,
-                      (x2_q, wi_q, wh_q, bi_t, bh_t, si, sh),
+                      (x2_q, wi_q, wh_q, tile(bi), tile(bh),
+                       tile(si), tile(sh)),
                       t, b, bb, hidden, dtype, 1, interpret, scratch)
         out = _unstack(hs, lens_p, flip_sequences)
         return out[:b_true]
@@ -399,6 +429,51 @@ def bidir_rnn_pallas(x: jnp.ndarray,
                   dtype, 1, interpret)
     out = _unstack(hs, lens_p, flip_sequences)
     return out[:b_true]
+
+
+def bidir_rnn_pallas_sharded(x: jnp.ndarray,
+                             lengths: Optional[jnp.ndarray],
+                             fwd_params: Tuple, bwd_params: Tuple,
+                             hidden: int, cell: str,
+                             interpret: bool = False,
+                             quant: bool = False,
+                             mesh=None, data_axis: str = 'data'):
+    """bidir_rnn_pallas, shard_mapped over the data-parallel mesh axis when
+    one is active (pallas_rnns(..., mesh=...)) — the serving twin of
+    rnn_train.bidir_rnn_trainable_sharded.
+
+    Handwritten Pallas kernels carry no GSPMD partitioning rules, so inside
+    a mesh-partitioned serving jit they must be explicitly placed: batch
+    (and lengths) split over ``data_axis``, weights replicated. This is what
+    keeps data-parallel serving on the fused kernels instead of silently
+    falling back to the XLA scan. With ``quant=True`` the per-tensor dynamic
+    activation scale is computed per shard (each device sees only its batch
+    rows) — a strictly tighter quantization grid than the global scale."""
+    if mesh is None:
+        mesh, data_axis = sharding_ctx()
+    if mesh is None:
+        return bidir_rnn_pallas(x, lengths, fwd_params, bwd_params, hidden,
+                                cell, interpret, quant)
+
+    P = jax.sharding.PartitionSpec
+    rep = jax.tree.map(lambda _: P(), (fwd_params, bwd_params))
+
+    if lengths is None:
+        def body(x, fwd, bwd):
+            return bidir_rnn_pallas(x, None, fwd, bwd, hidden, cell,
+                                    interpret, quant)
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P(data_axis),) + rep,
+                           out_specs=P(data_axis), check_vma=False)
+        return fn(x, fwd_params, bwd_params)
+
+    def body(x, lengths, fwd, bwd):
+        return bidir_rnn_pallas(x, lengths, fwd, bwd, hidden, cell,
+                                interpret, quant)
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(data_axis), P(data_axis)) + rep,
+                       out_specs=P(data_axis), check_vma=False)
+    return fn(x, lengths, fwd_params, bwd_params)
 
 
 def gru_from_xp_pallas(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
@@ -424,3 +499,34 @@ def gru_from_xp_pallas(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
     hs = _run(_gru_xp_kernel, (xp2, wh.astype(dtype), bh_t),
               t, b, bb, hidden, dtype, 1, interpret)
     return hs, b_true
+
+
+def gru_from_xp_pallas_sharded(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
+                               wh: jnp.ndarray, bh: jnp.ndarray,
+                               hidden: int,
+                               interpret: bool = False,
+                               mesh=None, data_axis: str = 'data'):
+    """gru_from_xp_pallas, shard_mapped over the data axis when a mesh is
+    active (see bidir_rnn_pallas_sharded). Returns [T, 2, B, H] hidden
+    states with the batch already cropped to its true size (unlike the
+    unsharded function, which returns (hs, b_true) — a Python int cannot
+    cross a shard_map boundary, so the crop happens inside the body)."""
+    if mesh is None:
+        mesh, data_axis = sharding_ctx()
+    if mesh is None:
+        hs, b_true = gru_from_xp_pallas(xp_f, xp_b, wh, bh, hidden,
+                                        interpret)
+        return hs[:, :, :b_true]
+
+    P = jax.sharding.PartitionSpec
+
+    def body(xp_f, xp_b, wh, bh):
+        hs, b_true = gru_from_xp_pallas(xp_f, xp_b, wh, bh, hidden,
+                                        interpret)
+        return hs[:, :, :b_true]
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(data_axis), P(data_axis), P(), P()),
+                       out_specs=P(None, None, data_axis, None),
+                       check_vma=False)
+    return fn(xp_f, xp_b, wh, bh)
