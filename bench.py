@@ -117,6 +117,26 @@ def main():
         best = max(best, n_iters * frames_per_iter * hop / sr / elapsed)
 
     value = best / n_devices
+
+    # roofline accounting (utils/flops.py): the decode runs at each group's
+    # padded bucket length, so padded frames are real executed FLOPs; the
+    # audio-s/s numerator above counts only true frames
+    from forwardtacotron_tpu.utils.flops import (
+        forward_tacotron_activation_bytes, forward_tacotron_generate_flops,
+        forward_tacotron_param_bytes, roofline_report)
+    iter_flops = iter_bytes = 0.0
+    for xg, bucket, _ in groups:
+        bg = int(xg.shape[0])
+        iter_flops += forward_tacotron_generate_flops(
+            config, bg, max_tokens, bucket)
+        iter_bytes += (forward_tacotron_activation_bytes(
+            config, bg, max_tokens, bucket, dtype_bytes=2)
+            + forward_tacotron_param_bytes(config, dtype_bytes=2))
+    # best = audio_s/s -> iterations/s = best / (frames_per_iter*hop/sr)
+    iters_per_s = best / (frames_per_iter * hop / sr)
+    roof = roofline_report(iter_flops * iters_per_s,
+                           iter_bytes * iters_per_s, 1.0, dtype='bf16')
+
     print(json.dumps({
         'metric': 'audio-seconds synthesized/s/chip (ForwardTacotron mel, '
                   'batch 4096, bf16 fused serving path, Pallas RNN kernels, '
@@ -124,6 +144,13 @@ def main():
         'value': round(value, 2),
         'unit': 'audio_s/s/chip',
         'vs_baseline': round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        'chip': roof['chip'],
+        'achieved_tflops': round(roof['achieved_tflops'], 2),
+        'mfu': round(roof['mfu'], 4),
+        'achieved_hbm_gbps': round(roof['achieved_hbm_gbps'], 1),
+        'hbm_util': round(roof['hbm_util'], 4),
+        'arithmetic_intensity': round(roof['arithmetic_intensity'], 1),
+        'bound': roof['bound'],
     }))
 
 

@@ -246,8 +246,10 @@ class DataLoader:
             try:
                 for idx in batches:
                     q.put(self.collate_fn([self.dataset[i] for i in idx]))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # surface in the consumer — a
+                q.put(e)                # swallowed error would silently
+                                        # truncate the epoch
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -255,6 +257,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()
 

@@ -76,15 +76,22 @@ def make_speaker_encoder(n_mels: int):
 
 class Preprocessor:
     """Per-file conversion; picklable so it runs in pool workers
-    (reference preprocess.py:55-98)."""
+    (reference preprocess.py:55-98).
+
+    ``keep_wav``: return the trimmed waveform on the DataPoint — only
+    needed when a waveform-based speaker encoder (Resemblyzer) runs in the
+    main process. The default drops it so a full-corpus run holds O(pool
+    chunk) waveforms, not O(dataset) (~10 GB for LJSpeech at f32)."""
 
     def __init__(self, paths: Paths, config: Dict[str, Any],
-                 text_dict: Dict[str, str]) -> None:
+                 text_dict: Dict[str, str],
+                 keep_wav: bool = False) -> None:
         self.paths = paths
         self.config = config
         self.dsp = DSP.from_config(config)
         self.pitch_extractor = new_pitch_extractor_from_config(config)
         self.text_dict = text_dict
+        self.keep_wav = keep_wav
         # the cleaner is constructed lazily per worker (espeak handles
         # don't fork well)
         self._cleaner: Optional[Cleaner] = None
@@ -125,7 +132,8 @@ class Preprocessor:
         np.save(str(self.paths.raw_pitch / f'{item_id}.npy'), pitch,
                 allow_pickle=False)
         return DataPoint(item_id=item_id, mel_len=mel.shape[-1],
-                         text=text, speaker_name='', wav=y)
+                         text=text, speaker_name='',
+                         wav=y if self.keep_wav else None)
 
 
 def stratified_split(data: List[Tuple[str, int]],
@@ -181,26 +189,38 @@ def run_preprocessing(config: Dict[str, Any],
     wav_files = [w for w in wav_files if w.stem in text_dict]
     print(f'Preprocessing {len(wav_files)} wav files...')
 
-    processor = Preprocessor(paths, config, text_dict)
-    if n_workers > 1:
-        with ProcessPoolExecutor(max_workers=n_workers) as pool:
-            points = list(pool.map(processor, wav_files, chunksize=8))
-    else:
-        points = [processor(w) for w in wav_files]
-    points = [p for p in points if p is not None]
-
-    # speaker embeddings (main process, like the reference's VoiceEncoder)
+    # decide the speaker encoder BEFORE the pool runs: only Resemblyzer
+    # needs waveforms back from the workers; the mel-stats fallback embeds
+    # from the saved mel, so workers drop the wav and the embedding pass
+    # streams — peak memory is O(pool chunk) wavs instead of O(dataset)
     encoder = make_speaker_encoder(config['dsp']['num_mels'])
-    for p in points:
+    needs_wav = encoder.__class__.__name__ == '_Resemblyzer'
+    processor = Preprocessor(paths, config, text_dict, keep_wav=needs_wav)
+
+    def finalize(p: Optional[DataPoint]) -> Optional[DataPoint]:
+        """Embed the speaker as results stream out of the pool (main
+        process, like the reference's VoiceEncoder pass) and release the
+        waveform immediately."""
+        if p is None:
+            return None
         mel = np.load(str(paths.mel / f'{p.item_id}.npy'))
-        if hasattr(encoder, 'embed') and p.wav is not None \
-                and encoder.__class__.__name__ == '_Resemblyzer':
+        if needs_wav and p.wav is not None:
             emb = encoder.embed(mel, wav=p.wav,
                                 sample_rate=config['dsp']['sample_rate'])
         else:
             emb = encoder.embed(mel)
         np.save(str(paths.speaker_emb / f'{p.item_id}.npy'),
                 emb.astype(np.float32), allow_pickle=False)
+        p.wav = None
+        return p
+
+    if n_workers > 1:
+        with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            points = [finalize(p)
+                      for p in pool.map(processor, wav_files, chunksize=8)]
+    else:
+        points = [finalize(processor(w)) for w in wav_files]
+    points = [p for p in points if p is not None]
 
     clean_text_dict = {p.item_id: p.text for p in points}
     data = [(p.item_id, p.mel_len) for p in points]

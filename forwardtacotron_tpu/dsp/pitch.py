@@ -89,6 +89,20 @@ class YinPitchExtractor(PitchExtractor):
                 tau = int(np.argmin(band[f])) + tau_min
                 if cmnd[f, tau] >= 0.6:   # unvoiced
                     continue
+            # Octave-down guard: the search band starts at sr/fmax, so a
+            # signal ABOVE fmax aliases onto its in-band subharmonic (e.g.
+            # 1200 Hz -> a perfect dip at 2 periods = "600 Hz") and the
+            # final band filter cannot catch it. If an integer fraction of
+            # tau also dips below threshold, the true period is shorter;
+            # take the shortest such lag and let the band filter zero it
+            # when the true f0 is out of range.
+            for k in (4, 3, 2):
+                sub = int(round(tau / k))
+                if sub >= 2:
+                    lo, hi = max(sub - 1, 1), min(sub + 2, tau_max + 1)
+                    if cmnd[f, lo:hi].min() < self.threshold:
+                        tau = lo + int(np.argmin(cmnd[f, lo:hi]))
+                        break
             # parabolic interpolation around the minimum
             if 1 <= tau < tau_max:
                 a, b, c = diff[f, tau - 1], diff[f, tau], diff[f, tau + 1]

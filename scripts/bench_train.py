@@ -74,8 +74,25 @@ def main():
             float(m['loss'])
             dt = time.time() - start
             best = max(best, n / dt)
+
+        from forwardtacotron_tpu.utils.flops import (
+            forward_tacotron_activation_bytes, forward_tacotron_param_bytes,
+            forward_tacotron_train_flops, roofline_report)
+        dt_bytes = 2 if precision == 'bfloat16' else 4
+        step_flops = forward_tacotron_train_flops(config, bs, n_tok, t)
+        # fwd + bwd activations ~ 3x one pass; params read once + grads
+        # written once per step
+        step_bytes = (3 * forward_tacotron_activation_bytes(
+            config, bs, n_tok, t, dtype_bytes=dt_bytes)
+            + 2 * forward_tacotron_param_bytes(config, dtype_bytes=4))
+        roof = roofline_report(step_flops * best, step_bytes * best, 1.0,
+                               dtype='bf16')
         print(f'{precision}: {best:.2f} steps/s (bs={bs}, T={t}), '
-              f'loss={float(m["loss"]):.4f}')
+              f'loss={float(m["loss"]):.4f} | '
+              f'{roof["achieved_tflops"]:.1f} TF/s on {roof["chip"]} = '
+              f'{roof["mfu"]*100:.1f}% MFU, '
+              f'~{roof["achieved_hbm_gbps"]:.0f} GB/s HBM '
+              f'({roof["hbm_util"]*100:.0f}%), {roof["bound"]}-bound')
 
 
 if __name__ == '__main__':

@@ -89,6 +89,8 @@ def test_forward_training_runs_and_resumes(training_setup):
     assert int(state3.step) == int(state2.step)
 
 
+@pytest.mark.slow  # compile-dominated (~95s); runs-and-resumes covers the
+# trainer integration in the default suite
 def test_train_step_loss_decreases(training_setup):
     import jax
     config, paths = training_setup
@@ -124,6 +126,7 @@ def test_train_step_loss_decreases(training_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # compile-dominated (~95s)
 def test_train_step_bf16_mixed_precision(training_setup):
     """precision=bfloat16: finite decreasing loss, f32 master params, f32
     BatchNorm running stats, f32 Adam moments."""

@@ -76,6 +76,7 @@ def multi_setup(tmp_path):
     return config, paths
 
 
+@pytest.mark.slow  # compile-dominated (~95s) full multispeaker session
 def test_multi_training_runs(multi_setup):
     import jax
     config, paths = multi_setup
