@@ -86,23 +86,30 @@ class Cleaner:
     def __init__(self,
                  cleaner_name: str,
                  use_phonemes: bool,
-                 lang: str) -> None:
+                 lang: str,
+                 backend=None) -> None:
+        """``backend``: an object with ``phonemize([text], strip=True) ->
+        [str]`` used when ``use_phonemes=True``. Defaults to a live espeak
+        EspeakBackend; injectable so the phonemize->filter->collapse path is
+        testable (and swappable for another G2P) without the espeak shared
+        library."""
         if cleaner_name not in CLEANERS:
             raise ValueError(f'Cleaner not supported: {cleaner_name}! '
                              f'Supported: {sorted(CLEANERS)}')
         self.clean_func = CLEANERS[cleaner_name]
         self.use_phonemes = use_phonemes
         self.lang = lang
-        self.backend = None
-        if use_phonemes:
+        self.backend = backend
+        if use_phonemes and backend is None:
             try:
                 self.backend = _make_espeak_backend(lang)
             except Exception as e:  # phonemizer or espeak missing
                 raise RuntimeError(
                     'use_phonemes=True requires the phonemizer package with an '
                     'espeak backend, which is not available in this environment. '
-                    'Either install phonemizer+espeak, or set use_phonemes=False '
-                    'and provide pre-phonemized text.') from e
+                    'Either install phonemizer+espeak, set use_phonemes=False '
+                    'and provide pre-phonemized text, or pass a custom '
+                    '``backend``.') from e
 
     def __call__(self, text: str) -> str:
         text = self.clean_func(text)

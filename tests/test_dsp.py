@@ -138,3 +138,56 @@ def test_dsp_from_reference_config():
         config = yaml.safe_load(f)
     dsp = DSP.from_config(config)
     assert dsp.n_mels == 80 and dsp.hop_length == 256
+
+
+def test_full_filterbank_matches_independent_construction():
+    """Every filter of the Slaney bank, rebuilt in-test directly from the
+    published triangle formula (librosa-default semantics the reference
+    relies on, /root/reference/utils/dsp.py:69-75)."""
+    sr, n_fft, n_mels, fmin, fmax = 22050, 1024, 80, 0, 8000
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_f = mel_frequencies(n_mels + 2, fmin, fmax)
+    for i in range(n_mels):
+        left, center, right = mel_f[i], mel_f[i + 1], mel_f[i + 2]
+        up = (fft_freqs - left) / (center - left)
+        down = (right - fft_freqs) / (right - center)
+        expected = np.maximum(0, np.minimum(up, down)) * 2.0 / (right - left)
+        np.testing.assert_allclose(fb[i], expected, atol=1e-6,
+                                   err_msg=f'filter {i}')
+
+
+def test_wav_to_mel_matches_vendored_golden():
+    """Golden-array regression in the spirit of the reference's
+    tests/test_dsp.py:20-26 (librosa's brahms sample is not shippable here;
+    the vendored fixture is a deterministic harmonic+chirp+noise signal and
+    a mel generated ONCE by this pipeline after its STFT was parity-tested
+    against torch.stft and the filterbank verified against the independent
+    Slaney construction). Any numerical drift in the wav->mel composition
+    fails this."""
+    from forwardtacotron_tpu.dsp.dsp import DSP
+    from forwardtacotron_tpu.utils.files import read_config
+
+    y = np.load('tests/resources/golden_wav.npy')
+    golden_mel = np.load('tests/resources/golden_mel.npy')
+    config = read_config('configs/singlespeaker.yaml')
+    mel = np.asarray(DSP.from_config(config).wav_to_mel(y))
+    assert mel.shape == golden_mel.shape == (80, 130)
+    np.testing.assert_allclose(mel, golden_mel, rtol=1e-5, atol=1e-5)
+    # the log floor is exactly the reference's clip constant
+    assert golden_mel.min() == np.float32(np.log(1e-5))
+
+
+def test_pitch_matches_vendored_golden():
+    """Same regression lock for the default YIN extractor on the golden
+    signal (voiced fraction, f0 trajectory, silence gap)."""
+    from forwardtacotron_tpu.dsp.pitch import YinPitchExtractor
+
+    y = np.load('tests/resources/golden_wav.npy')
+    golden = np.load('tests/resources/golden_pitch.npy')
+    pitch = YinPitchExtractor(sample_rate=22050, hop_length=256,
+                              fmin=30.0, fmax=600.0)(y)
+    np.testing.assert_allclose(pitch, golden, rtol=1e-5, atol=1e-3)
+    # sanity on the fixture itself: vibrato around 180 Hz, near-silence gap
+    voiced = golden[golden > 0]
+    assert 170 < np.median(voiced) < 195

@@ -75,3 +75,65 @@ def test_cleaner_from_config():
                                 'use_phonemes': False, 'language': 'en-us'}}
     cleaner = Cleaner.from_config(config)
     assert cleaner('hello') == 'hello'
+
+
+class RecordedEspeakBackend:
+    """Replays phonemizer outputs recorded from the reference's espeak
+    configuration so the use_phonemes=True pipeline (clean -> phonemize ->
+    symbol-set filter -> whitespace collapse) is tested without the espeak
+    shared library. Golden input/output pairs from the reference's own
+    cleaner test (/root/reference/tests/test_cleaner.py:8-16); the extra
+    entries exercise the filter on out-of-set characters."""
+
+    RECORDED = {
+        'hello there!': 'həloʊ ðɛɹ!',
+        'hello there?!.': 'həloʊ ðɛɹ?!.',
+        # language-switch flags and stray out-of-set chars that a real
+        # espeak run can emit; the filter must drop them
+        'mixed': 'həloʊ A1# ðɛɹ',
+        'spaced': 'həloʊ   ðɛɹ',
+    }
+
+    def __init__(self):
+        self.calls = []
+
+    def phonemize(self, texts, strip=True):
+        assert strip
+        self.calls.extend(texts)
+        return [self.RECORDED[t] for t in texts]
+
+
+def test_cleaner_phonemize_path_with_recorded_backend():
+    backend = RecordedEspeakBackend()
+    cleaner = Cleaner('no_cleaners', use_phonemes=True, lang='en-us',
+                      backend=backend)
+    # reference golden round trips (tests/test_cleaner.py:11-15)
+    assert cleaner('hello there!') == 'həloʊ ðɛɹ!'
+    assert cleaner('hello there?!.') == 'həloʊ ðɛɹ?!.'
+    assert backend.calls == ['hello there!', 'hello there?!.']
+
+    # out-of-set characters are filtered AFTER phonemization
+    from forwardtacotron_tpu.text.symbols import phonemes_set
+    for bad in 'A1#':
+        assert bad not in phonemes_set
+    assert cleaner('mixed') == 'həloʊ ðɛɹ'
+    # whitespace collapses after filtering
+    assert cleaner('spaced') == 'həloʊ ðɛɹ'
+
+    # cleaning runs BEFORE phonemization: english_cleaners would rewrite
+    # the input key, so the recorded lookup proves the order
+    backend2 = RecordedEspeakBackend()
+    backend2.RECORDED = {'mister one': 'mɪstɚ wʌn'}
+    cleaner2 = Cleaner('english_cleaners', use_phonemes=True, lang='en-us',
+                       backend=backend2)
+    assert cleaner2('Mr. 1') == 'mɪstɚ wʌn'
+    assert backend2.calls == ['mister one']
+
+
+def test_cleaner_phonemized_output_tokenizes_losslessly():
+    """The recorded espeak outputs must round-trip through the tokenizer —
+    the same contract the reference's 135-symbol ID space guarantees."""
+    from forwardtacotron_tpu.text.tokenizer import Tokenizer
+    tok = Tokenizer()
+    for text in ('həloʊ ðɛɹ!', 'həloʊ ðɛɹ?!.', 'mɪstɚ wʌn'):
+        assert tok.decode(tok(text)) == text
