@@ -134,18 +134,11 @@ def _bidir_scan(x, lengths, fwd_params, bwd_params, step_fn, hidden,
             from forwardtacotron_tpu.ops.pallas import rnn_train
             return rnn_train.bidir_rnn_trainable_sharded(
                 x, lengths, fwd_params, bwd_params, hidden, cell)
-        # int8 kernels additionally need lane-aligned input features
-        quant = (pallas_rnn.pallas_rnns_quantized()
-                 and x.shape[-1] % 128 == 0)
-        if pallas_rnn.pallas_rnns_quantized() and not quant:
-            pallas_rnn.warn_int8_fallback(x.shape[-1], hidden)
         # the _sharded variant shard_maps over the data axis when the
         # serving jit is partitioned over a mesh (and is a plain call when
         # not), so multi-device serving keeps the fused kernels
         return pallas_rnn.bidir_rnn_pallas_sharded(
-            x, lengths, fwd_params, bwd_params, hidden, cell, quant=quant)
-    if pallas_rnn.pallas_rnns_quantized():
-        pallas_rnn.warn_int8_fallback(x.shape[-1], hidden, to='XLA lax.scan')
+            x, lengths, fwd_params, bwd_params, hidden, cell)
 
     wi_f, wh_f, bi_f, bh_f = fwd_params
     wi_b, wh_b, bi_b, bh_b = bwd_params

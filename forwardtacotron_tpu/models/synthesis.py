@@ -24,8 +24,7 @@ Array = jnp.ndarray
 def _jit_serving(fn, rnn_mode: str = 'on', mesh=None):
     """jit with the fused Pallas RNN kernels enabled during tracing (they
     apply on TPU in bf16 mode; inference-only, so no VJP is needed).
-    ``rnn_mode`` 'int8' selects the weight+activation-quantized kernels for
-    every 128-aligned RNN (see ops/pallas/rnn.py). ``mesh``: when the
+    ``mesh``: when the
     serving jit is GSPMD-partitioned over a data-parallel mesh, the kernels
     shard_map themselves over its 'data' axis (batch split per device,
     weights replicated) — handwritten Pallas kernels carry no partitioning
@@ -98,12 +97,10 @@ class TTSInference:
         to bf16 for ~2x MXU/bandwidth throughput at a small accuracy cost —
         keep float32 when bit-level parity with the reference matters.
 
-        ``dtype='int8'`` additionally routes every int8-eligible RNN
-        (128-aligned in_dim and hidden: the frame-rate BiLSTM and the
-        prenet/postnet CBHG GRUs) through the int8-quantized Pallas kernels
-        (weights per-column int8, activations dynamic per-tensor int8, f32
-        gate math) — the MXU's int8 rate is 2x its bf16 rate on v5e+;
-        non-eligible RNNs warn once and stay bf16, everything else bf16.
+        (An int8-quantized RNN serving mode existed and was cut: measured on
+        real v5e at the production batch of 4096, it delivered 0.996x the
+        bf16 routed throughput — the fused RNN stages are not MXU-rate-bound
+        at serving shapes — while costing 0.5%-of-range mel MAE.)
 
         ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
         parameters are replicated, request batches sharded over the 'data'
@@ -113,12 +110,12 @@ class TTSInference:
         with the mesh (the reference has no multi-device serving story at
         all)."""
         self.model = model
-        if dtype in ('bfloat16', 'int8'):
+        if dtype == 'bfloat16':
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
                 variables)
-        self._rnn_mode = 'int8' if dtype == 'int8' else 'on'
+        self._rnn_mode = 'on'
         self.mesh = mesh
         self._serving_mesh = mesh \
             if mesh is not None and int(mesh.devices.size) > 1 else None

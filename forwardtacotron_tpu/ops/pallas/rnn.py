@@ -39,10 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # trace-time switch: Pallas RNN kernels are opt-in. 'on' selects the
 # inference kernels (no VJP; models/synthesis.py enables it around its
-# jitted serving graphs); 'int8' selects the weight+activation-quantized
-# inference kernels (int8 MXU path — ~2x the bf16 matmul rate on v5e+;
-# gate math stays f32, the carried hidden state is requantized in-kernel
-# using its architectural (-1, 1) range); 'train' selects the custom-VJP
+# jitted serving graphs); 'train' selects the custom-VJP
 # cores from ops/pallas/rnn_train.py so the kernels also apply under
 # jax.grad (the mixed-precision trainer enables it around its loss
 # function). When the surrounding jit is GSPMD-partitioned over a
@@ -74,15 +71,11 @@ def sharding_ctx():
 
 
 def pallas_rnns_enabled() -> bool:
-    return _STATE['mode'] in ('on', 'int8', 'train')
+    return _STATE['mode'] in ('on', 'train')
 
 
 def pallas_rnns_trainable() -> bool:
     return _STATE['mode'] == 'train'
-
-
-def pallas_rnns_quantized() -> bool:
-    return _STATE['mode'] == 'int8'
 
 
 def eligible(dtype, in_dim: int, hidden: int) -> bool:
@@ -93,26 +86,6 @@ def eligible(dtype, in_dim: int, hidden: int) -> bool:
             and hidden % 128 == 0
             and in_dim % 16 == 0
             and jax.default_backend() == 'tpu')
-
-
-# RNN shapes that requested 'int8' but fell back (queryable so benchmarks
-# can assert the int8 path actually ran); warn once per shape, at trace time.
-INT8_FALLBACKS = set()
-
-
-def warn_int8_fallback(in_dim: int, hidden: int,
-                       to: str = 'bf16 Pallas kernel') -> None:
-    key = (in_dim, hidden, to)
-    if key in INT8_FALLBACKS:
-        return
-    INT8_FALLBACKS.add(key)
-    import warnings
-    warnings.warn(
-        f'int8 RNN mode requested, but an RNN with in_dim={in_dim}, '
-        f'hidden={hidden} is not int8-eligible (needs 128-aligned in_dim '
-        f'and hidden, bf16 input, TPU backend) — falling back to {to}. '
-        f'Throughput numbers will not reflect the int8 path for this RNN.',
-        stacklevel=3)
 
 
 def _pick_bb(b: int, cap: int = 256) -> int:
@@ -194,79 +167,6 @@ def _gru_kernel(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, out_ref, h_scr):
     out_ref[0] = h_new.astype(out_ref.dtype)
 
 
-def _lstm_kernel_i8(x_ref, wi_ref, wh_ref, b_ref, si_ref, sh_ref,
-                    out_ref, h_scr, c_scr):
-    """int8 LSTM step: x/h/weights int8 on the MXU (int32 accumulation),
-    per-output-column dequant scales applied in f32, cell state kept f32 in
-    scratch, hidden state requantized with the static (-1,1)*127 scale.
-
-    b/si/sh arrive pre-tiled to [2, BB, G]: slicing the gates of a
-    (dot + sublane-broadcast operand) MISCOMPILES under Mosaic (measured
-    max-error 1.7 on real v5e vs 0.002 interpret — same pattern the bf16 GRU
-    kernel documents as a crash); materialized operands are correct."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
-        c_scr[...] = jnp.zeros(c_scr.shape, c_scr.dtype)
-
-    x_t = x_ref[0]                                   # [2, BB, I] int8
-    h = h_scr[...]                                   # [2, BB, H] int8
-    dims = (((2,), (1,)), ((0,), (0,)))
-    gx = jax.lax.dot_general(x_t, wi_ref[...], dims,
-                             preferred_element_type=jnp.int32)
-    gh = jax.lax.dot_general(h, wh_ref[...], dims,
-                             preferred_element_type=jnp.int32)
-    gates = (gx.astype(jnp.float32) * si_ref[...]
-             + gh.astype(jnp.float32) * sh_ref[...]
-             + b_ref[...])
-
-    hd = h_scr.shape[-1]
-    i = jax.nn.sigmoid(gates[..., :hd])
-    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
-    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
-    o = jax.nn.sigmoid(gates[..., 3 * hd:])
-    c = f * c_scr[...] + i * g
-    h_new = o * jnp.tanh(c)
-
-    h_scr[...] = jnp.round(h_new * 127.0).astype(jnp.int8)
-    c_scr[...] = c
-    out_ref[0] = h_new.astype(out_ref.dtype)
-
-
-def _gru_kernel_i8(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, si_ref, sh_ref,
-                   out_ref, h_scr):
-    """int8 GRU step (see _lstm_kernel_i8; biases AND scales arrive
-    pre-tiled [2, BB, G] — sublane-broadcast operands feeding sliced gates
-    miscompile under Mosaic)."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
-
-    x_t = x_ref[0]
-    h = h_scr[...]
-    dims = (((2,), (1,)), ((0,), (0,)))
-    gxi = jax.lax.dot_general(x_t, wi_ref[...], dims,
-                              preferred_element_type=jnp.int32)
-    ghi = jax.lax.dot_general(h, wh_ref[...], dims,
-                              preferred_element_type=jnp.int32)
-    gx = gxi.astype(jnp.float32) * si_ref[...] + bi_ref[...]
-    gh = ghi.astype(jnp.float32) * sh_ref[...] + bh_ref[...]
-
-    hd = h_scr.shape[-1]
-    r = jax.nn.sigmoid(gx[..., :hd] + gh[..., :hd])
-    z = jax.nn.sigmoid(gx[..., hd:2 * hd] + gh[..., hd:2 * hd])
-    n = jnp.tanh(gx[..., 2 * hd:] + r * gh[..., 2 * hd:])
-    h_prev = h.astype(jnp.float32) * (1.0 / 127.0)
-    h_new = (1.0 - z) * n + z * h_prev
-
-    h_scr[...] = jnp.round(h_new * 127.0).astype(jnp.int8)
-    out_ref[0] = h_new.astype(out_ref.dtype)
-
-
 def _gru_xp_kernel(xp_ref, wh_ref, bh_ref, out_ref, h_scr):
     """GRU step from a precomputed input projection (gx = x@wi + bi), used by
     the fused token-level multi-GRU where each sub-GRU has its own input."""
@@ -334,47 +234,21 @@ def _unstack(hs, lengths, flip_fn):
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
-def _quant_cols(w: jnp.ndarray):
-    """Symmetric per-output-column int8 quantization of stacked gate
-    weights [2, I, G] -> (int8 weights, dequant scale [2, G] f32)."""
-    w = w.astype(jnp.float32)
-    m = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-8)           # [2, G]
-    q = jnp.clip(jnp.round(w / m[:, None, :] * 127.0),
-                 -127, 127).astype(jnp.int8)
-    return q, m * (1.0 / 127.0)
-
-
-def _quant_tensor(x: jnp.ndarray):
-    """Symmetric per-tensor dynamic int8 quantization -> (int8, scale)."""
-    xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8)
-    q = jnp.clip(jnp.round(xf * (127.0 / s)), -127, 127).astype(jnp.int8)
-    return q, s * (1.0 / 127.0)
-
-
 def bidir_rnn_pallas(x: jnp.ndarray,
                      lengths: Optional[jnp.ndarray],
                      fwd_params: Tuple, bwd_params: Tuple,
                      hidden: int, cell: str,
-                     interpret: bool = False,
-                     quant: bool = False) -> jnp.ndarray:
+                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for models.layers._bidir_scan (inference only).
 
     x: [B, T, I]; params: (wi [I,G], wh [H,G], bi [G], bh [G]) per direction,
     torch gate order. Returns [B, T, 2*hidden].
 
-    ``quant=True`` runs the int8 kernels: weights per-column symmetric int8,
-    the input sequence per-tensor dynamic int8, and the carried hidden state
-    int8 at the static (-1,1)*127 scale its tanh/convex-combination range
-    guarantees — the MXU runs at its int8 rate (2x bf16 on v5e) and the
-    VMEM-resident weights halve again. Gate math stays f32; the LSTM cell
-    state stays f32 in scratch.
     """
     from forwardtacotron_tpu.models.layers import flip_sequences
 
     dtype = x.dtype
-    # int8 blocks tile (32, 128): keep the batch tile a multiple of 32
-    bb = max(_pick_bb(x.shape[0]), 32) if quant else _pick_bb(x.shape[0])
+    bb = _pick_bb(x.shape[0])
     x, b_true = _pad_batch(x, bb)
     b, t, _ = x.shape
 
@@ -385,34 +259,6 @@ def bidir_rnn_pallas(x: jnp.ndarray,
     x2 = _stack_time_major(
         jnp.stack([x, flip_sequences(x, lens_p)], axis=0))
     x2 = jax.lax.optimization_barrier(x2)
-
-    if quant:
-        wi_q, swi = _quant_cols(jnp.stack([fwd_params[0], bwd_params[0]]))
-        wh_q, swh = _quant_cols(jnp.stack([fwd_params[1], bwd_params[1]]))
-        x2_q, sx = _quant_tensor(x2)
-        x2_q = jax.lax.optimization_barrier(x2_q)
-        si = swi * sx                                 # [2, G] f32
-        sh = swh * (1.0 / 127.0)
-        bi = jnp.stack([fwd_params[2], bwd_params[2]]).astype(jnp.float32)
-        bh = jnp.stack([fwd_params[3], bwd_params[3]]).astype(jnp.float32)
-
-        def tile(v):  # [2, G] -> [2, BB, G] materialized (Mosaic-safe)
-            return jnp.broadcast_to(v[:, None, :], (2, bb) + v.shape[1:])
-
-        if cell == 'lstm':
-            scratch = [pltpu.VMEM((2, bb, hidden), jnp.int8),
-                       pltpu.VMEM((2, bb, hidden), jnp.float32)]
-            hs = _run(_lstm_kernel_i8,
-                      (x2_q, wi_q, wh_q, tile(bi + bh), tile(si), tile(sh)),
-                      t, b, bb, hidden, dtype, 2, interpret, scratch)
-        else:
-            scratch = [pltpu.VMEM((2, bb, hidden), jnp.int8)]
-            hs = _run(_gru_kernel_i8,
-                      (x2_q, wi_q, wh_q, tile(bi), tile(bh),
-                       tile(si), tile(sh)),
-                      t, b, bb, hidden, dtype, 1, interpret, scratch)
-        out = _unstack(hs, lens_p, flip_sequences)
-        return out[:b_true]
 
     wi = jnp.stack([fwd_params[0], bwd_params[0]]).astype(dtype)
     wh = jnp.stack([fwd_params[1], bwd_params[1]]).astype(dtype)
@@ -436,7 +282,6 @@ def bidir_rnn_pallas_sharded(x: jnp.ndarray,
                              fwd_params: Tuple, bwd_params: Tuple,
                              hidden: int, cell: str,
                              interpret: bool = False,
-                             quant: bool = False,
                              mesh=None, data_axis: str = 'data'):
     """bidir_rnn_pallas, shard_mapped over the data-parallel mesh axis when
     one is active (pallas_rnns(..., mesh=...)) — the serving twin of
@@ -446,14 +291,12 @@ def bidir_rnn_pallas_sharded(x: jnp.ndarray,
     a mesh-partitioned serving jit they must be explicitly placed: batch
     (and lengths) split over ``data_axis``, weights replicated. This is what
     keeps data-parallel serving on the fused kernels instead of silently
-    falling back to the XLA scan. With ``quant=True`` the per-tensor dynamic
-    activation scale is computed per shard (each device sees only its batch
-    rows) — a strictly tighter quantization grid than the global scale."""
+    falling back to the XLA scan."""
     if mesh is None:
         mesh, data_axis = sharding_ctx()
     if mesh is None:
         return bidir_rnn_pallas(x, lengths, fwd_params, bwd_params, hidden,
-                                cell, interpret, quant)
+                                cell, interpret)
 
     P = jax.sharding.PartitionSpec
     rep = jax.tree.map(lambda _: P(), (fwd_params, bwd_params))
@@ -461,7 +304,7 @@ def bidir_rnn_pallas_sharded(x: jnp.ndarray,
     if lengths is None:
         def body(x, fwd, bwd):
             return bidir_rnn_pallas(x, None, fwd, bwd, hidden, cell,
-                                    interpret, quant)
+                                    interpret)
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=(P(data_axis),) + rep,
                            out_specs=P(data_axis), check_vma=False)
@@ -469,7 +312,7 @@ def bidir_rnn_pallas_sharded(x: jnp.ndarray,
 
     def body(x, lengths, fwd, bwd):
         return bidir_rnn_pallas(x, lengths, fwd, bwd, hidden, cell,
-                                interpret, quant)
+                                interpret)
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(data_axis), P(data_axis)) + rep,
                        out_specs=P(data_axis), check_vma=False)

@@ -190,37 +190,6 @@ def test_generate_routed_matches_two_phase():
 
 
 @pytest.mark.parametrize('cell', ['gru', 'lstm'])
-def test_pallas_bidir_rnn_int8_close_to_scan(cell):
-    """int8-quantized kernels (interpret mode): per-column weight quant +
-    per-tensor activation quant + int8 hidden-state carry must stay close to
-    the f32 scan — loose tolerance, this is a lossy serving mode."""
-    from forwardtacotron_tpu.models.layers import _lstm_step
-    from forwardtacotron_tpu.ops.pallas.rnn import bidir_rnn_pallas
-
-    rs = np.random.RandomState(7)
-    b, t, in_dim, hidden = 32, 12, 128, 128
-    g = 4 if cell == 'lstm' else 3
-
-    def mk():
-        return tuple(jnp.asarray(
-            rs.uniform(-0.3, 0.3, s).astype(np.float32))
-            for s in ((in_dim, g * hidden), (hidden, g * hidden),
-                      (g * hidden,), (g * hidden,)))
-
-    x = jnp.asarray((rs.randn(b, t, in_dim) * 0.5).astype(np.float32))
-    fwd, bwd = mk(), mk()
-    step = _lstm_step if cell == 'lstm' else _gru_step
-    n_carry = 2 if cell == 'lstm' else 1
-    ref = np.asarray(_bidir_scan(x, None, fwd, bwd, step, hidden, n_carry))
-    out = np.asarray(bidir_rnn_pallas(x, None, fwd, bwd, hidden, cell,
-                                      interpret=True, quant=True))
-    err = np.abs(out - ref)
-    scale = np.abs(ref).max()
-    assert err.max() < 0.05 * max(scale, 1.0), err.max()
-    assert err.mean() < 0.01 * max(scale, 1.0), err.mean()
-
-
-@pytest.mark.parametrize('cell', ['gru', 'lstm'])
 def test_sharded_pallas_bidir_matches_single_device(cell):
     """shard_map'd inference kernel over the 8-device mesh (interpret mode)
     must equal the single-device kernel — this is the path that keeps
@@ -287,61 +256,3 @@ def test_sharded_gru_from_xp_matches_single_device():
                                rtol=0, atol=2e-5)
 
 
-def test_pallas_lstm_int8_long_sequence_drift():
-    """ADVICE: the int8 hidden-state carry injects ~1/254 rounding noise per
-    step; serving decodes hundreds of frames, so bound the accumulated drift
-    over a long sequence, not just a dozen steps."""
-    from forwardtacotron_tpu.models.layers import _lstm_step
-    from forwardtacotron_tpu.ops.pallas.rnn import bidir_rnn_pallas
-
-    rs = np.random.RandomState(9)
-    b, t, in_dim, hidden = 16, 256, 128, 128
-
-    def mk():
-        return tuple(jnp.asarray(
-            rs.uniform(-0.3, 0.3, s).astype(np.float32))
-            for s in ((in_dim, 4 * hidden), (hidden, 4 * hidden),
-                      (4 * hidden,), (4 * hidden,)))
-
-    x = jnp.asarray((rs.randn(b, t, in_dim) * 0.5).astype(np.float32))
-    fwd, bwd = mk(), mk()
-    ref = np.asarray(_bidir_scan(x, None, fwd, bwd, _lstm_step, hidden, 2))
-    out = np.asarray(bidir_rnn_pallas(x, None, fwd, bwd, hidden, 'lstm',
-                                      interpret=True, quant=True))
-    err = np.abs(out - ref)
-    scale = np.abs(ref).max()
-    # measured: mean error is FLAT over time (~0.0024 at t<64 and at t>192;
-    # the convex gate combination forgets carry noise), so the bound that
-    # matters is stationarity; the max just samples a larger tail than the
-    # 12-step test (0.061 over 1M values vs 0.05 over 100k)
-    assert err.max() < 0.08 * max(scale, 1.0), err.max()
-    assert err.mean() < 0.01 * max(scale, 1.0), err.mean()
-    # late-sequence frames must be no worse than early ones (20% slack):
-    # drift saturates instead of accumulating
-    early = err[:, : t // 4].mean()
-    late = err[:, -t // 4:].mean()
-    assert late < 1.2 * early + 1e-4, (early, late)
-
-
-def test_int8_fallback_warns_once():
-    """ADVICE: a user-requested int8 mode that cannot run int8 must warn
-    (and be queryable) instead of silently benchmarking the wrong path."""
-    from forwardtacotron_tpu.models.layers import _bidir_scan, _gru_step
-    from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
-
-    rs = np.random.RandomState(5)
-    b, t, in_dim, hidden = 2, 3, 7, 4  # nothing 128-aligned
-    fwd = _rand_gru_params(rs, in_dim, hidden)
-    bwd = _rand_gru_params(rs, in_dim, hidden)
-    x = jnp.asarray(rs.randn(b, t, in_dim).astype(np.float32))
-
-    pallas_rnn.INT8_FALLBACKS.clear()
-    with pallas_rnn.pallas_rnns('int8'):
-        with pytest.warns(UserWarning, match='int8 RNN mode requested'):
-            _bidir_scan(x, None, fwd, bwd, _gru_step, hidden, 1)
-        assert (in_dim, hidden, 'XLA lax.scan') in pallas_rnn.INT8_FALLBACKS
-        # second call with the same shape: silent (warn once per shape)
-        import warnings as _warnings
-        with _warnings.catch_warnings():
-            _warnings.simplefilter('error')
-            _bidir_scan(x, None, fwd, bwd, _gru_step, hidden, 1)
