@@ -155,18 +155,24 @@ class Decoder(nn.Module):
         self.mel_proj = nn.Dense(self.n_mels * MAX_R, use_bias=False)
 
     def __call__(self, carry: Dict[str, jnp.ndarray],
-                 prenet_in: jnp.ndarray,
+                 prenet_out: jnp.ndarray,
                  encoder_seq: jnp.ndarray,
                  encoder_seq_proj: jnp.ndarray,
                  r: int,
                  train: bool = False,
-                 prenet_dropout_on: bool = False,
                  zoneout_keys: Optional[jnp.ndarray] = None,
-                 token_mask: Optional[jnp.ndarray] = None
+                 token_mask: Optional[jnp.ndarray] = None,
+                 project_mel: bool = True
                  ) -> Tuple[Dict[str, jnp.ndarray],
                             Tuple[jnp.ndarray, jnp.ndarray]]:
-        prenet_out = self.prenet(prenet_in, dropout_on=prenet_dropout_on)
-
+        """One decode step. ``prenet_out`` is the already-PreNet-projected
+        teacher/previous frame: the PreNet has no recurrent input, so the
+        teacher-forced path hoists it out of the sequential scan into one
+        batched GEMM over all steps (reference runs it per Python-loop step,
+        tacotron.py:261). ``project_mel=False`` likewise skips the mel
+        projection so the caller can run it as a single [S*B, D] GEMM after
+        the scan (free-running generate keeps it in-step: the projected
+        frame feeds back and gates the stop flag)."""
         attn_rnn_in = jnp.concatenate([carry['context'], prenet_out], axis=-1)
         attn_hidden = self.attn_rnn(attn_rnn_in, carry['attn_hidden'])
 
@@ -188,11 +194,14 @@ class Decoder(nn.Module):
             h2 = _zoneout(zoneout_keys[1], carry['h2'], h2)
         x = x + h2
 
-        mels = self.mel_proj(x).reshape(-1, self.n_mels, MAX_R)[:, :, :r]
+        if project_mel:
+            out = self.mel_proj(x).reshape(-1, self.n_mels, MAX_R)[:, :, :r]
+        else:
+            out = x
         new_carry = {'attn_hidden': attn_hidden, 'h1': h1, 'c1': c1,
                      'h2': h2, 'c2': c2, 'context': context,
                      'cumulative': cumulative, 'attention': scores}
-        return new_carry, (mels, scores)
+        return new_carry, (out, scores)
 
 
 def _zoneout(key, prev, current, p: float = 0.1):
@@ -290,19 +299,29 @@ class Tacotron(nn.Module):
         else:
             zo_keys = jnp.zeros((steps, 2, 2), jnp.uint32)
 
+        # PreNet over every teacher frame at once: one [S*B, n_mels] GEMM
+        # chain instead of S tiny launches inside the sequential scan (the
+        # dropout masks stay i.i.d. per step; the reference draws them
+        # per-loop-iteration, same distribution)
+        prenet_outs = self.decoder.prenet(prenet_ins,
+                                          dropout_on=prenet_dropout_on)
+
         def body(decoder, carry, xs):
-            prenet_in, zkeys = xs
-            return decoder(carry, prenet_in, proj_query, proj, r, train,
-                           prenet_dropout_on, zkeys if train else None,
-                           token_mask)
+            prenet_out, zkeys = xs
+            return decoder(carry, prenet_out, proj_query, proj, r, train,
+                           zkeys if train else None, token_mask,
+                           project_mel=False)
 
         scan = nn.scan(body, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True},
                        in_axes=0, out_axes=0)
-        _, (mel_steps, attn) = scan(self.decoder, carry0,
-                                    (prenet_ins, zo_keys))
+        _, (dec_steps, attn) = scan(self.decoder, carry0,
+                                    (prenet_outs, zo_keys))
 
+        # deferred mel projection: one [S*B, lstm_dims] GEMM, then
         # [S, B, n_mels, r] -> [B, T, n_mels]
+        mel_steps = self.decoder.mel_proj(dec_steps).reshape(
+            steps, b, self.n_mels, MAX_R)[..., :r]
         mel_out = jnp.transpose(mel_steps, (1, 0, 3, 2)).reshape(
             b, steps * r, self.n_mels)
         attn = jnp.swapaxes(attn, 0, 1)  # [B, S, N]
@@ -313,26 +332,37 @@ class Tacotron(nn.Module):
 
     def generate(self, x: jnp.ndarray,
                  speaker_emb: Optional[jnp.ndarray] = None,
-                 steps: int = 2000, r: int = 1
+                 steps: int = 2000, r: int = 1,
+                 chunk: int = 32
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Free-running generation with a silence stop flag
         (reference tacotron.py:283-349). Returns (mel [B, T, n_mels],
-        linear, attention [B, S, N], n_valid_steps [B])."""
+        linear, attention [B, S, N], n_valid_steps [B]).
+
+        Early exit: the decode is a ``lax.while_loop`` over ``chunk``-step
+        scan blocks that stops once every batch item has flagged silence
+        (the reference's data-dependent ``break``); shapes stay static —
+        outputs are written into a full-length buffer and frames past
+        ``n_valid`` are zeros. A batch that finishes at step k costs
+        ceil(k/chunk)*chunk steps instead of ``steps``."""
         b, n = x.shape
         proj_query, proj = self._encode(x, speaker_emb, False)
+        n_steps = -(-(steps // r) // chunk) * chunk  # pad up to chunk grid
+        n_chunks = n_steps // chunk
         carry0 = dict(self._init_carry(b, n),
                       prev_frame=jnp.zeros((b, self.n_mels)),
                       finished=jnp.zeros((b,), bool),
                       n_valid=jnp.zeros((b,), jnp.int32))
-        n_steps = steps // r
 
-        def body(decoder, carry, t):
+        def step(decoder, carry, t):
             inner = {k: carry[k] for k in
                      ('attn_hidden', 'h1', 'c1', 'h2', 'c2', 'context',
                       'cumulative', 'attention')}
-            inner, (mels, scores) = decoder(inner, carry['prev_frame'],
+            prenet_out = decoder.prenet(carry['prev_frame'],
+                                        dropout_on=False)
+            inner, (mels, scores) = decoder(inner, prenet_out,
                                             proj_query, proj, r,
-                                            False, False, None)
+                                            False, None, None)
             silent = jnp.all(mels < self.stop_threshold, axis=(1, 2))
             newly_finished = silent & (t * r > 10)
             finished = carry['finished'] | newly_finished
@@ -343,17 +373,39 @@ class Tacotron(nn.Module):
                              finished=finished, n_valid=n_valid)
             return new_carry, (mels, scores)
 
-        scan = nn.scan(body, variable_broadcast='params',
-                       split_rngs={'params': False, 'dropout': False},
-                       in_axes=0, out_axes=0)
-        final, (mel_steps, attn) = scan(self.decoder, carry0,
-                                        jnp.arange(n_steps))
+        chunk_scan = nn.scan(step, variable_broadcast='params',
+                             split_rngs={'params': False, 'dropout': False},
+                             in_axes=0, out_axes=0)
+
+        def cond_fn(mdl, state):
+            carry, _, _, i = state
+            return (i < n_chunks) & ~jnp.all(carry['finished'])
+
+        def body_fn(decoder, state):
+            carry, mel_buf, attn_buf, i = state
+            ts = i * chunk + jnp.arange(chunk)
+            carry, (mels, scores) = chunk_scan(decoder, carry, ts)
+            # [chunk, B, n_mels, r] / [chunk, B, N] -> buffer slots
+            mel_buf = jax.lax.dynamic_update_slice(
+                mel_buf, mels, (i * chunk, 0, 0, 0))
+            attn_buf = jax.lax.dynamic_update_slice(
+                attn_buf, scores, (i * chunk, 0, 0))
+            return carry, mel_buf, attn_buf, i + 1
+
+        mel_buf0 = jnp.zeros((n_steps, b, self.n_mels, r))
+        attn_buf0 = jnp.zeros((n_steps, b, n))
+        final, mel_steps, attn, _ = nn.while_loop(
+            cond_fn, body_fn, self.decoder,
+            (carry0, mel_buf0, attn_buf0, jnp.zeros((), jnp.int32)),
+            broadcast_variables='params')
+        # crop the chunk-padded buffer back to the requested step budget
+        s_req = steps // r
         mel_out = jnp.transpose(mel_steps, (1, 0, 3, 2)).reshape(
-            b, n_steps * r, self.n_mels)
-        attn = jnp.swapaxes(attn, 0, 1)
+            b, n_steps * r, self.n_mels)[:, :s_req * r]
+        attn = jnp.swapaxes(attn, 0, 1)[:, :s_req]
         post = self.postnet(mel_out, False)
         linear = self.post_proj(post)
-        return mel_out, linear, attn, final['n_valid']
+        return mel_out, linear, attn, jnp.minimum(final['n_valid'], s_req)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> 'Tacotron':

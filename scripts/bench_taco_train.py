@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from forwardtacotron_tpu.dsp.dsp import DSP
     from forwardtacotron_tpu.models.tacotron import Tacotron
@@ -51,7 +52,11 @@ def main():
                                r=5, train=False)
         trainer = TacoTrainer(paths, DSP.from_config(config), config)
         for r in (5, 1):
-            state = create_train_state(variables, trainer.tx)
+            # fresh device copy: the jitted step donates its state argument,
+            # and that state aliases `variables` — without the copy the next
+            # (precision, r) session would build a state from deleted buffers
+            fresh = jax.tree.map(lambda a: jnp.array(a), variables)
+            state = create_train_state(fresh, trainer.tx)
             step_fn = trainer._get_train_step(model, r)
             rng = jax.random.PRNGKey(0)
 
