@@ -312,7 +312,16 @@ class Tacotron(nn.Module):
                            zkeys if train else None, token_mask,
                            project_mel=False)
 
-        scan = nn.scan(body, variable_broadcast='params',
+        # Rematerialize the decoder step under training: the chip-measured
+        # train step is backward-bound (93 ms step vs 16 ms forward at r=1,
+        # scripts/bench_taco_profile.py) because the scan backward streams
+        # every step's saved residuals — including the [B, N, attn_dim] LSA
+        # intermediates — back from HBM. Recomputing the step in the
+        # backward pass trades one extra forward's FLOPs (cheap, the MXU is
+        # idle waiting on HBM here) for that traffic. prevent_cse is safe
+        # off inside scan (jax.checkpoint docs).
+        body_fn = nn.remat(body, prevent_cse=False) if train else body
+        scan = nn.scan(body_fn, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True},
                        in_axes=0, out_axes=0)
         _, (dec_steps, attn) = scan(self.decoder, carry0,
