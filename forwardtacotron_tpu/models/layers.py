@@ -325,6 +325,15 @@ class CBHG(nn.Module):
     proj_channels: Sequence[int]
     num_highways: int
     dropout: float = 0.5
+    # Optional inference path: run the K bank convs as ONE K-tap convolution
+    # (each smaller kernel zero-embedded) + one fused per-channel BN.
+    # Numerically equal to the per-k path (zero taps contribute exact 0.0)
+    # but measured SLOWER on v5e at serving shapes — the bank is MXU-compute
+    # bound and the zero taps are real MACs (K^2/sum(k) ~ 1.8x FLOPs):
+    # postnet K=8 bank 29.7 ms fused vs 23.7 ms per-k, prenet K=16 61.2 vs
+    # 41.3 ms (scripts/bench_bank_ab.py, batch 4096). Off by default; kept
+    # for shapes where dispatch overhead dominates (tiny batches).
+    fuse_bank: bool = False
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -341,6 +350,43 @@ class CBHG(nn.Module):
         self.rnn = BiGRU(self.channels, in_dim=self.channels)
         self.drop = nn.Dropout(self.dropout)
 
+    def _bank_fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The K bank convs (reference common_layers.py:72-79) as ONE conv.
+
+        Separate k=1..K convs each re-read the input from HBM and dispatch
+        their own (small) MXU contraction — at serving shapes the bank is
+        the dominant CBHG cost. Zero-embedding each k-tap kernel at offset
+        K//2 - k//2 inside a K-tap kernel makes one conv compute all K
+        outputs exactly (every bank conv sees the same zero boundary, and
+        zero taps contribute exact 0.0), cutting input reads K-fold and
+        leaving one large MXU dispatch. The K BatchNorms reduce to a single
+        fused per-channel normalize over the concatenated running stats
+        (inference only — training keeps per-module stats updates).
+        """
+        kernels = [m.variables['params']['conv']['kernel']
+                   for m in self.conv1d_bank]
+        dt = x.dtype
+        K, t = self.K, x.shape[1]
+        parts = []
+        for k, w in zip(range(1, K + 1), kernels):
+            off = K // 2 - k // 2
+            parts.append(jnp.pad(w, ((off, K - k - off), (0, 0), (0, 0))))
+        w_full = jnp.concatenate(parts, axis=-1).astype(dt)  # [K, Cin, K*C]
+        y = jax.lax.conv_general_dilated(
+            x, w_full, window_strides=(1,), padding=[(K // 2, K // 2)],
+            dimension_numbers=('NWC', 'WIO', 'NWC'))[:, :t, :]
+        y = jax.nn.relu(y)
+
+        def cat(col, name):
+            return jnp.concatenate(
+                [m.variables[col]['bnorm'][name]
+                 for m in self.conv1d_bank]).astype(dt)
+
+        # flax BatchNorm eval-normalize order at dtype=x.dtype
+        mean, var = cat('batch_stats', 'mean'), cat('batch_stats', 'var')
+        scale, bias = cat('params', 'scale'), cat('params', 'bias')
+        return (y - mean) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
+
     def pre_rnn(self, x: jnp.ndarray, train: bool = False,
                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Everything before the bidirectional GRU; see ``__call__`` for the
@@ -353,8 +399,11 @@ class CBHG(nn.Module):
         residual = x
         t = x.shape[1]
 
-        bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
-        x = jnp.concatenate(bank, axis=-1)
+        if self.fuse_bank and not train and not self.is_initializing():
+            x = self._bank_fused(x)
+        else:
+            bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
+            x = jnp.concatenate(bank, axis=-1)
 
         x = maxpool_time(x)
         if tail is not None:

@@ -41,6 +41,14 @@ def bucket_frames(n: int, bucket: int = 128, max_frames: int = 16384) -> int:
     return min(max_frames, int(math.ceil(max(n, 1) / bucket)) * bucket)
 
 
+def bucket_group_size(n: int, cap: int) -> int:
+    """Round a routed decode group's batch size up to a power of two
+    (capped at the request batch size) so steady-state serving with an
+    arbitrary request mix compiles O(log2(B) x #frame-buckets) decode
+    executables instead of one per distinct group size."""
+    return min(cap, 1 << max(0, (int(n) - 1).bit_length()))
+
+
 class JittedVocoder:
     """Batched [B, T, n_mels] -> [B, T*hop] neural vocoding for the serving
     path: wraps a models/vocoder.py generator + variables as a jitted
@@ -50,6 +58,9 @@ class JittedVocoder:
 
     def __init__(self, model, variables: Dict[str, Any],
                  dtype: str = 'bfloat16'):
+        if dtype not in ('float32', 'bfloat16'):
+            raise ValueError(
+                f"dtype must be 'float32' or 'bfloat16', got {dtype!r}")
         if dtype == 'bfloat16':
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
@@ -109,6 +120,12 @@ class TTSInference:
         over the 'data' axis so the mesh path keeps them. Throughput scales
         with the mesh (the reference has no multi-device serving story at
         all)."""
+        if dtype not in ('float32', 'bfloat16'):
+            raise ValueError(
+                f"dtype must be 'float32' or 'bfloat16', got {dtype!r} "
+                "(the 'int8' serving mode was removed: measured 0.996x bf16 "
+                "throughput at production batch — see models/synthesis.py "
+                "docstring)")
         self.model = model
         if dtype == 'bfloat16':
             variables = jax.tree.map(
@@ -301,8 +318,13 @@ class TTSInference:
         that group's budget. Outputs are reassembled in request order and
         padded to the batch maximum, so the contract matches ``generate``.
 
-        Compiles one decode executable per (group size, bucket) pair —
-        steady-state serving with a stable batch size reuses them all.
+        Group batch sizes are padded up to powers of two (repeating the
+        group's first request; padding is cropped before reassembly), so the
+        compile cache holds at most O(log2(B) x #frame-buckets) decode
+        executables no matter how the request mix varies between calls —
+        without the padding every distinct (group size, bucket) pair would
+        compile its own executable and a live traffic mix would grow the
+        cache unboundedly.
 
         ``vocoder``: optional batched [B, T, n_mels] -> [B, T*hop] callable
         (e.g. JittedVocoder over models/vocoder.py). It runs inside the
@@ -336,7 +358,11 @@ class TTSInference:
             idx = np.nonzero(buckets == bucket)[0]
             group_idx[int(bucket)] = idx
             decode = self._get_decode(int(bucket))
-            gi = jnp.asarray(idx)
+            n = len(idx)
+            n_pad = bucket_group_size(n, x.shape[0])
+            idx_padded = np.concatenate(
+                [idx, np.full(n_pad - n, idx[0], idx.dtype)])
+            gi = jnp.asarray(idx_padded)
             args = [self.variables, x[gi]]
             if self.multispeaker:
                 args.append(semb[gi])
@@ -346,7 +372,7 @@ class TTSInference:
             out = decode(*args)
             if vocoder is not None:
                 out['wav'] = vocoder(out['mel_post'])
-            out_parts[int(bucket)] = out
+            out_parts[int(bucket)] = {k: v[:n] for k, v in out.items()}
 
         b = x.shape[0]
         max_bucket = int(buckets.max())

@@ -351,15 +351,22 @@ class Tacotron(nn.Module):
         Early exit: the decode is a ``lax.while_loop`` over ``chunk``-step
         scan blocks that stops once every batch item has flagged silence
         (the reference's data-dependent ``break``); shapes stay static —
-        outputs are written into a full-length buffer and frames past
-        ``n_valid`` are zeros. A batch that finishes at step k costs
+        outputs are written into a full-length buffer, and frames past the
+        chunk boundary where ALL items have finished are zeros. Per-item
+        validity is given by ``n_valid``: frames between an item's
+        ``n_valid`` and that boundary contain free-running junk (exactly as
+        in the reference, which also keeps decoding items that went silent
+        early while others continue). A batch that finishes at step k costs
         ceil(k/chunk)*chunk steps instead of ``steps``."""
         b, n = x.shape
         proj_query, proj = self._encode(x, speaker_emb, False)
         n_steps = -(-(steps // r) // chunk) * chunk  # pad up to chunk grid
         n_chunks = n_steps // chunk
+        # buffers/carry in the compute dtype so bf16-cast variables decode
+        # without a dtype mismatch at the dynamic_update_slice
+        cdtype = proj_query.dtype
         carry0 = dict(self._init_carry(b, n),
-                      prev_frame=jnp.zeros((b, self.n_mels)),
+                      prev_frame=jnp.zeros((b, self.n_mels), cdtype),
                       finished=jnp.zeros((b,), bool),
                       n_valid=jnp.zeros((b,), jnp.int32))
 
@@ -372,6 +379,11 @@ class Tacotron(nn.Module):
             inner, (mels, scores) = decoder(inner, prenet_out,
                                             proj_query, proj, r,
                                             False, None, None)
+            # pin the compute dtype: parts of the decoder promote to f32
+            # (f32 constants/softmax), which would break the while_loop
+            # carry and buffer dtypes under bf16-cast variables
+            mels = mels.astype(cdtype)
+            scores = scores.astype(cdtype)
             silent = jnp.all(mels < self.stop_threshold, axis=(1, 2))
             newly_finished = silent & (t * r > 10)
             finished = carry['finished'] | newly_finished
@@ -401,8 +413,8 @@ class Tacotron(nn.Module):
                 attn_buf, scores, (i * chunk, 0, 0))
             return carry, mel_buf, attn_buf, i + 1
 
-        mel_buf0 = jnp.zeros((n_steps, b, self.n_mels, r))
-        attn_buf0 = jnp.zeros((n_steps, b, n))
+        mel_buf0 = jnp.zeros((n_steps, b, self.n_mels, r), cdtype)
+        attn_buf0 = jnp.zeros((n_steps, b, n), cdtype)
         final, mel_steps, attn, _ = nn.while_loop(
             cond_fn, body_fn, self.decoder,
             (carry0, mel_buf0, attn_buf0, jnp.zeros((), jnp.int32)),

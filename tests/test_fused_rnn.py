@@ -256,3 +256,66 @@ def test_sharded_gru_from_xp_matches_single_device():
                                rtol=0, atol=2e-5)
 
 
+
+
+def test_routed_compile_cache_bounded_under_varying_mix():
+    """A live traffic mix produces arbitrary per-bucket group sizes; group
+    padding to powers of two (models/synthesis.py bucket_group_size) must
+    keep the number of compiled decode executables at
+    O(log2(B) x #frame-buckets) instead of one per distinct group size."""
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import TTSInference
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('tests/resources/test_config.yaml')
+    model = init_tts_model(config)
+    rs = np.random.RandomState(7)
+    b, n = 8, 9
+    batch = {'x': rs.randint(1, 100, (b, n)).astype(np.int64),
+             'dur': np.full((b, n), 3.0, np.float32),
+             'mel_len': np.full((b,), 3 * n, np.int64),
+             'pitch': rs.randn(b, n).astype(np.float32),
+             'energy': rs.rand(b, n).astype(np.float32),
+             'mel': np.zeros((b, 3 * n, config['dsp']['num_mels']),
+                             np.float32)}
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           batch, train=False)
+    inf = TTSInference(model, variables, multispeaker=False)
+
+    orig_predict = inf._predict
+
+    scales = {}
+
+    def scaled_predict(v, xq, alpha):
+        out = dict(orig_predict(v, xq, alpha))
+        out['dur'] = out['dur'] * scales['cur'][:xq.shape[0]]
+        return out
+
+    inf._predict = scaled_predict
+
+    # 10 calls with different random per-request duration scales: group
+    # sizes per bucket vary call to call
+    for trial in range(10):
+        scales['cur'] = jnp.asarray(
+            rs.uniform(0.5, 4.0, (b, 1)).astype(np.float32))
+        inf.generate_routed(batch['x'], frame_bucket=16)
+
+    n_frame_buckets = len(inf._decode_cache)
+    n_executables = sum(fn._cache_size()
+                        for fn in inf._decode_cache.values())
+    # group sizes padded to powers of two <= 8 -> at most 4 sizes/bucket
+    assert n_executables <= 4 * n_frame_buckets, (
+        f'{n_executables} executables across {n_frame_buckets} buckets - '
+        'compile cache is not bounded')
+
+
+def test_tts_inference_rejects_unknown_dtype():
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.models.synthesis import TTSInference
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('tests/resources/test_config.yaml')
+    model = init_tts_model(config)
+    with pytest.raises(ValueError, match='int8'):
+        TTSInference(model, {}, multispeaker=False, dtype='int8')
