@@ -166,6 +166,63 @@ def forward_tacotron_train_flops(config: Dict[str, Any], b: int,
                                                  t_frames)
 
 
+def forward_tacotron_stage_bytes(model_cfg: Dict[str, Any], b: int,
+                                 n_tokens: int, t_frames: int,
+                                 n_mels: int = 80,
+                                 dtype_bytes: int = 2) -> Dict[str, float]:
+    """Per-stage HBM traffic estimate matching forward_tacotron_stage_flops'
+    stage names: every inter-op activation tensor inside the stage counted
+    write+read (2x) across fusion boundaries, plus stage input read, output
+    write and weights once. This is the achievable traffic for XLA-level
+    fusion (not a perfect-fusion lower bound)."""
+    m = model_cfg
+    emb, semb, p = m['embed_dims'], m['series_embed_dims'], m['prenet_dims']
+    d = dtype_bytes
+
+    def sp_bytes(conv, rnn):
+        # embed out, 3 conv outs (w+r), gru out (w+r), head out
+        act = b * n_tokens * (2 * semb + 3 * 2 * conv + 2 * 2 * rnn + 1)
+        w = 5 * semb * conv + 2 * 5 * conv * conv \
+            + 2 * (conv * 3 * rnn + rnn * 3 * rnn)
+        return (act + w) * d
+
+    def cbhg_bytes(K, c, in_dim, proj2, t):
+        # in read, bank concat (w+r), maxpool out (w+r), proj1 (w+r),
+        # proj2+residual (w+r), highway xs (w+r, 4 stages ~ c each),
+        # gru out write
+        act = b * t * (in_dim + 2 * K * c + 2 * K * c + 2 * c
+                       + 2 * in_dim + 8 * c + 2 * c)
+        w = (in_dim * c * (K * (K + 1) // 2) + 3 * K * c * c
+             + 3 * c * proj2 + proj2 * c + 8 * c * c + 2 * 2 * c * 3 * c)
+        return (act + w) * d
+
+    stages = {
+        'series_predictors': (sp_bytes(m['durpred_conv_dims'],
+                                       m['durpred_rnn_dims'])
+                              + sp_bytes(m['pitch_conv_dims'],
+                                         m['pitch_rnn_dims'])
+                              + sp_bytes(m['energy_conv_dims'],
+                                         m['energy_rnn_dims'])),
+        'prenet_cbhg': cbhg_bytes(m['prenet_k'], p, emb, emb, n_tokens),
+        'pitch_energy_proj': float(2 * b * n_tokens * (1 + 2 * p) * d),
+        'length_regulator': float(
+            b * (n_tokens + t_frames) * 2 * p * d),   # read tokens, write T
+        'frame_bilstm': float(
+            (b * t_frames * (2 * p + 2 * m['rnn_dims'])
+             + 2 * (2 * p * 4 * m['rnn_dims']
+                    + m['rnn_dims'] * 4 * m['rnn_dims'])) * d),
+        'mel_linear': float(
+            (b * t_frames * (2 * m['rnn_dims'] + n_mels)
+             + 2 * m['rnn_dims'] * n_mels) * d),
+        'postnet_cbhg': cbhg_bytes(m['postnet_k'], m['postnet_dims'],
+                                   n_mels, n_mels, t_frames),
+        'post_proj': float(
+            (b * t_frames * (2 * m['postnet_dims'] + n_mels)
+             + 2 * m['postnet_dims'] * n_mels) * d),
+    }
+    return {k: float(v) for k, v in stages.items()}
+
+
 # -------------------------------------------------------------- HBM estimates
 
 
