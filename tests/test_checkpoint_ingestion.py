@@ -50,3 +50,71 @@ def test_pt_checkpoint_load_and_generate(tmp_path):
     ref_post = ref['mel_post'].numpy()[0]
     np.testing.assert_allclose(out['mel_post'], ref_post,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pinned_schema_matches_reference_and_converter(tmp_path):
+    """The pinned state_dict schema (tests/resources/
+    reference_state_dict_schema.json, the documented contract of
+    utils/convert.py for the published checkpoints) must (a) still match
+    what the reference models emit and (b) convert onto each flax model's
+    init tree structure+shapes exactly."""
+    import json
+    from pathlib import Path
+
+    import jax
+    import torch
+    from models.fast_pitch import FastPitch
+    from models.forward_tacotron import ForwardTacotron
+    from models.multi_fast_pitch import MultiFastPitch
+    from models.multi_forward_tacotron import MultiForwardTacotron
+
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.utils.convert import (convert_state_dict,
+                                                   validate_against)
+    from forwardtacotron_tpu.utils.files import read_config
+
+    doc = json.loads(Path('tests/resources/'
+                          'reference_state_dict_schema.json').read_text())
+    schema = doc['models']
+
+    single = read_config(str(REFERENCE_ROOT / 'configs'
+                             / 'singlespeaker.yaml'))
+    multi = read_config(str(REFERENCE_ROOT / 'configs'
+                            / 'multispeaker.yaml'))
+    cases = {
+        'forward_tacotron': (ForwardTacotron, single, False),
+        'fast_pitch': (FastPitch, single, False),
+        'multi_forward_tacotron': (MultiForwardTacotron, multi, True),
+        'multi_fast_pitch': (MultiFastPitch, multi, True),
+    }
+    for name, (torch_cls, config, is_multi) in cases.items():
+        # (a) reference still emits the pinned schema
+        got = {k: list(v.shape)
+               for k, v in torch_cls.from_config(config).state_dict().items()}
+        assert got == schema[name], f'{name}: reference schema drifted'
+
+        # (b) a synthetic state_dict with exactly the pinned keys/shapes
+        # converts onto the flax init tree
+        state_dict = {k: torch.zeros(shape)
+                      for k, shape in schema[name].items()}
+        variables, _aux = convert_state_dict(state_dict)
+
+        cfg = dict(config)
+        cfg['tts_model'] = name
+        model = init_tts_model(cfg)
+        n = 8
+        batch = {'x': np.ones((1, n), np.int64),
+                 'dur': np.ones((1, n), np.float32),
+                 'mel_len': np.array([2 * n]),
+                 'pitch': np.zeros((1, n), np.float32),
+                 'energy': np.zeros((1, n), np.float32),
+                 'mel': np.zeros((1, 2 * n, config['dsp']['num_mels']),
+                                 np.float32)}
+        if is_multi:
+            batch['speaker_emb'] = np.zeros(
+                (1, config[name]['model']['speaker_emb_dims']), np.float32)
+            batch['pitch_cond'] = np.ones((1, n), np.int64)
+        ref_vars = model.init({'params': jax.random.PRNGKey(0),
+                               'dropout': jax.random.PRNGKey(1)},
+                              batch, train=False)
+        validate_against(variables, ref_vars)
