@@ -59,7 +59,31 @@ class MelStatsSpeakerEncoder:
         return emb / norm if norm > 0 else emb
 
 
+def find_resemblyzer_weights() -> Optional[str]:
+    """Locate a Resemblyzer ``pretrained.pt`` for the native VoiceEncoder:
+    $RESEMBLYZER_WEIGHTS, then ./checkpoints, then ~/checkpoints."""
+    import os
+    candidates = [os.environ.get('RESEMBLYZER_WEIGHTS')]
+    for d in (Path('checkpoints'), Path.home() / 'checkpoints'):
+        candidates.append(str(d / 'pretrained.pt'))
+    for c in candidates:
+        if c and Path(c).is_file():
+            return c
+    return None
+
+
 def make_speaker_encoder(n_mels: int):
+    """Speaker-embedding provider, in preference order:
+
+    1. the resemblyzer package (exactly the reference's path,
+       preprocess.py:172-182), if installed;
+    2. the native JAX VoiceEncoder (models/speaker_encoder.py — same
+       published architecture) with real ``pretrained.pt`` weights, if a
+       weights file is found (see :func:`find_resemblyzer_weights`);
+    3. the deterministic mel-stats fallback — interface-compatible but NOT
+       a trained speaker encoder; multispeaker conditioning quality is
+       unvalidated vs the reference until weights are supplied.
+    """
     try:
         from resemblyzer import VoiceEncoder
         encoder = VoiceEncoder()
@@ -71,7 +95,18 @@ def make_speaker_encoder(n_mels: int):
                     preprocess_wav(wav, source_sr=sample_rate))
         return _Resemblyzer()
     except ImportError:
-        return MelStatsSpeakerEncoder(n_mels)
+        pass
+    weights = find_resemblyzer_weights()
+    if weights is not None:
+        from forwardtacotron_tpu.models.speaker_encoder import VoiceEncoder
+        encoder = VoiceEncoder(weights_path=weights)
+        print(f'Speaker encoder: native VoiceEncoder with {weights}')
+
+        class _Resemblyzer:  # same name: signals the wav-needing path
+            def embed(self, mel, wav=None, sample_rate=22050):
+                return encoder.embed_utterance(wav, source_sr=sample_rate)
+        return _Resemblyzer()
+    return MelStatsSpeakerEncoder(n_mels)
 
 
 class Preprocessor:
