@@ -310,10 +310,26 @@ class BinnedTacoDataLoader:
 def shard_for_host(data: List[Tuple[str, int]],
                    process_index: int, process_count: int
                    ) -> List[Tuple[str, int]]:
-    """Deterministic per-host slice for multi-host data parallelism."""
+    """Deterministic per-host shard for multi-host data parallelism,
+    balanced by sequence length.
+
+    Items are (id, length) with length the mel/frame count, so per-host
+    *duration-expanded frame* totals — the actual per-step work after the
+    length regulator — balance, not just item counts: sort by length
+    descending and deal serpentine (0..P-1, P-1..0, ...), which bounds the
+    spread between hosts by one maximum-length item. Each host then runs
+    its own BinnedLengthSampler over its shard (host-local collation), so
+    the reordering here is invisible to batch composition."""
     if process_count <= 1:
         return data
-    return data[process_index::process_count]
+    order = sorted(range(len(data)), key=lambda i: (-data[i][1], data[i][0]))
+    mine = []
+    for rank, idx in enumerate(order):
+        block, pos = divmod(rank, process_count)
+        host = pos if block % 2 == 0 else process_count - 1 - pos
+        if host == process_index:
+            mine.append(data[idx])
+    return mine
 
 
 def get_taco_dataloaders(paths: Paths, batch_size: int, r: int,

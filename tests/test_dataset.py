@@ -157,3 +157,33 @@ def test_binned_taco_dataloader_equal_lengths(tiny_dataset):
         assert (batch['x'] != 0).all()
         seen += batch['x'].shape[0]
     assert seen == 6
+
+
+def test_shard_for_host_balances_skewed_frame_totals():
+    """Multi-host sharding must balance duration-expanded frame totals, not
+    item counts: with an LJSpeech-like log-normal mel-length distribution
+    (heavy right tail, clipped at max_mel_len=1250), per-host frame totals
+    must agree within 10% (the serpentine deal bounds the spread by one
+    max-length item) and the shards must partition the dataset exactly."""
+    from forwardtacotron_tpu.data.dataset import shard_for_host
+
+    rs = np.random.RandomState(0)
+    lens = np.clip(np.exp(rs.normal(6.2, 0.55, 13100)), 40, 1250)
+    data = [(f'item{i:05d}', int(t)) for i, t in enumerate(lens)]
+
+    for n_hosts in (2, 4, 8):
+        shards = [shard_for_host(data, h, n_hosts) for h in range(n_hosts)]
+        # exact partition
+        all_ids = sorted(i for s in shards for i, _ in s)
+        assert all_ids == sorted(i for i, _ in data)
+        totals = [sum(t for _, t in s) for s in shards]
+        spread = (max(totals) - min(totals)) / min(totals)
+        assert spread < 0.10, (n_hosts, totals)
+        # serpentine is much tighter than the 10% requirement in practice
+        assert spread < 0.002, (n_hosts, totals)
+
+
+def test_shard_for_host_single_process_passthrough():
+    from forwardtacotron_tpu.data.dataset import shard_for_host
+    data = [('a', 3), ('b', 5)]
+    assert shard_for_host(data, 0, 1) == data
