@@ -6,8 +6,11 @@ one-hot selection tensor in HBM before the matmul. This kernel builds each
 and feeds it straight to the MXU — the selection tensor never touches HBM,
 so the op is bounded by reading x once and writing the output once.
 
-Grid: (B, T / T_TILE). Per program: out[b, t0:t0+T_TILE, :] =
-onehot(t in [starts[b], ends[b])) @ x[b].
+Grid: (B / B_TILE, T / T_TILE). Per program, for each of its B_TILE items:
+out[b, t0:t0+T_TILE, :] = onehot(t in [starts[b], ends[b])) @ x[b].
+B_TILE items per program amortize the per-program dispatch/DMA-setup
+overhead — at serving shapes (B=4096, one T tile) a per-item grid was
+overhead-bound at ~3x the bytes-floor SoL; batching items recovers it.
 """
 
 from functools import partial
@@ -20,20 +23,20 @@ from jax.experimental.pallas import tpu as pltpu
 from forwardtacotron_tpu.ops.length_regulator import duration_spans
 
 T_TILE = 256
+B_TILE = 8
 
 
-def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref):
-    b = pl.program_id(0)
+def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref, *, b_tile):
     t0 = pl.program_id(1) * T_TILE
     n = x_ref.shape[1]
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, n), 0) + t0
-    # starts/ends are unblocked [B, N] in VMEM (a (1, N) block would violate
-    # the 8x128 tiling constraint); index the batch row here instead
-    starts = starts_ref[b, :][None, :]
-    ends = ends_ref[b, :][None, :]
-    sel = ((t_ids >= starts) & (t_ids < ends)).astype(x_ref.dtype)
-    out_ref[0] = jnp.dot(sel, x_ref[0], preferred_element_type=jnp.float32
-                         ).astype(out_ref.dtype)
+    for k in range(b_tile):
+        starts = starts_ref[k, :][None, :]
+        ends = ends_ref[k, :][None, :]
+        sel = ((t_ids >= starts) & (t_ids < ends)).astype(x_ref.dtype)
+        out_ref[k] = jnp.dot(sel, x_ref[k],
+                             preferred_element_type=jnp.float32
+                             ).astype(out_ref.dtype)
 
 
 def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
@@ -43,17 +46,23 @@ def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
         padded = ((max_len + T_TILE - 1) // T_TILE) * T_TILE
         return _pallas_impl(x, dur, padded, interpret)[:, :max_len]
     starts, ends = duration_spans(dur)
+    b_tile = next(bt for bt in (B_TILE, 4, 2, 1) if b % bt == 0)
 
     return pl.pallas_call(
-        _lr_kernel,
-        grid=(b, max_len // T_TILE),
+        partial(_lr_kernel, b_tile=b_tile),
+        grid=(b // b_tile, max_len // T_TILE),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            # blocked per batch tile: an unblocked spec would DMA the FULL
+            # [B, N] spans into every program (1.4 GB of redundant traffic
+            # at serving shapes — measured 4x the bytes-floor SoL)
+            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T_TILE, c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((b_tile, T_TILE, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, max_len, c), x.dtype),
         interpret=interpret,

@@ -191,3 +191,52 @@ def test_pitch_matches_vendored_golden():
     # sanity on the fixture itself: vibrato around 180 Hz, near-silence gap
     voiced = golden[golden > 0]
     assert 170 < np.median(voiced) < 195
+
+
+import jax
+import jax.numpy as jnp
+
+
+def test_stft_pair_matches_complex_stft():
+    """The MXU fast path (DFT as two real matmuls, reshape framing) must
+    match the rfft reference to f32 matmul rounding."""
+    from forwardtacotron_tpu.ops.stft import stft, stft_pair
+
+    rs = np.random.RandomState(0)
+    y = jnp.asarray(rs.randn(22050).astype(np.float32) * 0.3)
+    ref = stft(y, 1024, 256, 1024)
+    re, im = stft_pair(y, 1024, 256, 1024)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(re.T), np.asarray(ref.real),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(im.T), np.asarray(ref.imag),
+                               atol=2e-6 * scale)
+
+
+def test_istft_pair_round_trip():
+    from forwardtacotron_tpu.ops.stft import istft_pair, stft_pair
+
+    rs = np.random.RandomState(1)
+    y = jnp.asarray(rs.randn(20480).astype(np.float32) * 0.5)
+    re, im = stft_pair(y, 1024, 256, 1024)
+    y2 = istft_pair(re, im, 1024, 256, 1024)
+    n = min(y.shape[0], y2.shape[0])
+    np.testing.assert_allclose(np.asarray(y2[:n]), np.asarray(y[:n]),
+                               atol=1e-4)
+
+
+def test_griffin_lim_pair_tracks_complex_griffin_lim():
+    """Same key, same algorithm: the pair formulation must track the
+    complex rfft Griffin-Lim trajectory (not just produce 'a' waveform)."""
+    from forwardtacotron_tpu.ops.stft import (griffin_lim, griffin_lim_pair,
+                                              stft)
+
+    rs = np.random.RandomState(2)
+    y = jnp.asarray(rs.randn(11025).astype(np.float32) * 0.3)
+    mag = jnp.abs(stft(y, 1024, 256, 1024))
+    w1 = griffin_lim(mag, jax.random.PRNGKey(0), 1024, 256, 1024, n_iter=8)
+    w2 = griffin_lim_pair(mag, jax.random.PRNGKey(0), 1024, 256, 1024,
+                          n_iter=8)
+    corr = float(np.corrcoef(np.asarray(w1), np.asarray(w2))[0, 1])
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=2e-3)
