@@ -120,6 +120,41 @@ def main():
 
     value = best / n_devices
 
+    # text->wav: same routed serving with the on-chip HiFi-GAN v1 generator
+    # (random weights — conv cost is value-independent; the reference cannot
+    # vocode on-device at all, gen_forward.py:108-116 exports mels). Fewer
+    # iterations: the vocoder dominates (~13x the acoustic model's FLOPs).
+    from forwardtacotron_tpu.models.synthesis import JittedVocoder
+    from forwardtacotron_tpu.models.vocoder import HiFiGANGenerator
+    voc_model = HiFiGANGenerator()
+    voc_vars = jax.jit(voc_model.init)(
+        jax.random.PRNGKey(1),
+        np.zeros((1, 64, config['dsp']['num_mels']), np.float32))
+    vocoder = JittedVocoder(voc_model, voc_vars, dtype='bfloat16')
+    # measure the vocoder alone at one shape (one compile — per-bucket
+    # vocode executables would add ~8 min of compiles to the driver run),
+    # then combine: serial same-chip pipeline throughput is exactly
+    # 1 / (1/serving + 1/vocoder). bench_text2wav.py measures the fully
+    # interleaved loop and agrees.
+    voc_batch, voc_frames_shape = 128, 256
+    mel0 = jnp.asarray(
+        np.random.RandomState(0).randn(voc_batch, voc_frames_shape,
+                                       config['dsp']['num_mels'])
+        .astype(np.float32))
+    jax.block_until_ready(vocoder(mel0))
+    chain_w = jax.jit(lambda m, w: m + (w[0, 0] * 0).astype(m.dtype))
+    voc_best = 0.0
+    voc_audio_s = voc_batch * voc_frames_shape * hop / sr
+    for _ in range(2):
+        start = time.time()
+        carry = None
+        for _ in range(4):
+            mi = mel0 if carry is None else chain_w(mel0, carry)
+            carry = vocoder(mi)
+        float(np.asarray(carry[0, 0]))
+        voc_best = max(voc_best, 4 * voc_audio_s / (time.time() - start))
+    t2w_best = 1.0 / (1.0 / best + 1.0 / voc_best)
+
     # roofline accounting (utils/flops.py): the decode runs at each group's
     # padded bucket length, so padded frames are real executed FLOPs; the
     # audio-s/s numerator above counts only true frames
@@ -153,6 +188,7 @@ def main():
         'hbm_util': round(roof['hbm_util'], 4),
         'arithmetic_intensity': round(roof['arithmetic_intensity'], 1),
         'bound': roof['bound'],
+        'text2wav_audio_s_per_s': round(t2w_best / n_devices, 1),
     }))
 
 

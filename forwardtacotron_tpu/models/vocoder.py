@@ -191,6 +191,11 @@ class HiFiGANGenerator(nn.Module):
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     num_mels: int = 80
     dtype: Any = jnp.float32
+    # Fuse each MRF level (18 convs) into ONE Pallas kernel with
+    # channels-major [C, T] tiles on TPU for levels with <= this many
+    # channels (the low-channel levels are the bytes-bound ones —
+    # ops/pallas/mrf.py). 0 disables.
+    fuse_mrf_max_ch: int = 128
 
     @property
     def hop_length(self) -> int:
@@ -216,15 +221,56 @@ class HiFiGANGenerator(nn.Module):
         self.resblocks = resblocks
         self.conv_post = _Conv(1, 7, padding=3, dtype=self.dtype)
 
+    def _mrf_fusable(self, ch: int) -> bool:
+        if self.resblock != '1' or self.is_initializing():
+            return False
+        if ch > self.fuse_mrf_max_ch or self.fuse_mrf_max_ch <= 0:
+            return False
+        dils = self.resblock_dilation_sizes
+        if any(tuple(d) != tuple(dils[0]) for d in dils):
+            return False
+        from forwardtacotron_tpu.ops.pallas.mrf import HALO
+        kr = max(self.resblock_kernel_sizes)
+        span = sum(kr // 2 * d + kr // 2 for d in dils[0])
+        if span > HALO:
+            return False
+        import jax
+        return jax.default_backend() == 'tpu'
+
+    def _mrf_fused(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        """The level's 3 ResBlock1 branches + average as one Pallas kernel
+        (numerically equal to the per-conv path to f32 rounding)."""
+        from forwardtacotron_tpu.ops.pallas.mrf import (mrf_pallas,
+                                                        pack_conv_weight)
+        num_kernels = len(self.resblock_kernel_sizes)
+        weights = []
+        for j in range(num_kernels):
+            rb = self.resblocks[level * num_kernels + j]
+            p1 = [m.variables['params']['conv'] for m in rb.convs1]
+            p2 = [m.variables['params']['conv'] for m in rb.convs2]
+            for ps in (p1, p2):
+                weights.append(jnp.stack(
+                    [pack_conv_weight(q['kernel']).astype(x.dtype)
+                     for q in ps]))
+                weights.append(jnp.stack(
+                    [q['bias'].astype(x.dtype) for q in ps]))
+        out = mrf_pallas(jnp.swapaxes(x, 1, 2), tuple(weights),
+                         tuple(self.resblock_kernel_sizes),
+                         tuple(self.resblock_dilation_sizes[0]))
+        return jnp.swapaxes(out, 1, 2)
+
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         num_kernels = len(self.resblock_kernel_sizes)
         x = self.conv_pre(mel.astype(self.dtype))
         for i, up in enumerate(self.ups):
             x = up(nn.leaky_relu(x, 0.1))
-            xs = self.resblocks[i * num_kernels](x)
-            for j in range(1, num_kernels):
-                xs = xs + self.resblocks[i * num_kernels + j](x)
-            x = xs / num_kernels
+            if self._mrf_fusable(x.shape[-1]):
+                x = self._mrf_fused(x, i)
+            else:
+                xs = self.resblocks[i * num_kernels](x)
+                for j in range(1, num_kernels):
+                    xs = xs + self.resblocks[i * num_kernels + j](x)
+                x = xs / num_kernels
         x = nn.leaky_relu(x, 0.01)
         x = jnp.tanh(self.conv_post(x))
         return x[..., 0]

@@ -1,0 +1,76 @@
+"""Fused HiFi-GAN MRF Pallas kernel (ops/pallas/mrf.py) parity vs the
+per-conv flax path — kernel-level (vs an average of ResBlock1 branches)
+and generator-level (forcing the fused path; interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forwardtacotron_tpu.models.vocoder import HiFiGANGenerator, ResBlock1
+from forwardtacotron_tpu.ops.pallas.mrf import mrf_pallas, pack_conv_weight
+
+KRS, DILS = (3, 7, 11), (1, 3, 5)
+
+
+def _pack(vars_per_kr):
+    weights = []
+    for v in vars_per_kr:
+        p = v['params']
+        for group in ('convs1', 'convs2'):
+            weights.append(jnp.stack(
+                [pack_conv_weight(p[f'{group}_{u}']['conv']['kernel'])
+                 for u in range(3)]))
+            weights.append(jnp.stack(
+                [p[f'{group}_{u}']['conv']['bias'] for u in range(3)]))
+    return tuple(weights)
+
+
+def test_mrf_kernel_matches_resblock_average():
+    rs = np.random.RandomState(0)
+    c, t, b = 32, 300, 2
+    blocks = [ResBlock1(c, kr, DILS) for kr in KRS]
+    x = jnp.asarray(rs.randn(b, t, c).astype(np.float32) * 0.5)
+    vs = [blk.init(jax.random.PRNGKey(i), x)
+          for i, blk in enumerate(blocks)]
+    ref = sum(blk.apply(v, x) for blk, v in zip(blocks, vs)) / len(blocks)
+
+    got = mrf_pallas(jnp.swapaxes(x, 1, 2), _pack(vs), KRS, DILS,
+                     t_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got, 1, 2)),
+                               np.asarray(ref), rtol=0, atol=2e-5)
+
+
+def test_mrf_kernel_multi_tile_and_edges():
+    """Tile halos and sequence-boundary zero-padding: a length that spans
+    several tiles with a ragged final tile must match exactly."""
+    rs = np.random.RandomState(1)
+    c, t, b = 16, 413, 1
+    blocks = [ResBlock1(c, kr, DILS) for kr in KRS]
+    x = jnp.asarray(rs.randn(b, t, c).astype(np.float32))
+    vs = [blk.init(jax.random.PRNGKey(10 + i), x)
+          for i, blk in enumerate(blocks)]
+    ref = sum(blk.apply(v, x) for blk, v in zip(blocks, vs)) / len(blocks)
+    got = mrf_pallas(jnp.swapaxes(x, 1, 2), _pack(vs), KRS, DILS,
+                     t_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got, 1, 2)),
+                               np.asarray(ref), rtol=0, atol=2e-5)
+
+
+def test_generator_fused_path_matches_unfused(monkeypatch):
+    """Full HiFiGANGenerator with the fused MRF forced on (interpret on
+    CPU) vs fuse_mrf_max_ch=0."""
+    cfg = dict(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+               upsample_initial_channel=32, num_mels=8)
+    gen_fused = HiFiGANGenerator(**cfg)
+    gen_plain = HiFiGANGenerator(fuse_mrf_max_ch=0, **cfg)
+    rs = np.random.RandomState(2)
+    mel = jnp.asarray(rs.randn(2, 40, 8).astype(np.float32))
+    variables = gen_plain.init(jax.random.PRNGKey(0), mel)
+
+    monkeypatch.setattr(HiFiGANGenerator, '_mrf_fusable',
+                        lambda self, ch: not self.is_initializing()
+                        and self.fuse_mrf_max_ch > 0)
+    ref = gen_plain.apply(variables, mel)
+    got = gen_fused.apply(variables, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
