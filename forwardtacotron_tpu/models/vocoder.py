@@ -191,11 +191,17 @@ class HiFiGANGenerator(nn.Module):
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     num_mels: int = 80
     dtype: Any = jnp.float32
-    # Fuse each MRF level (18 convs) into ONE Pallas kernel with
-    # channels-major [C, T] tiles on TPU for levels with <= this many
-    # channels (the low-channel levels are the bytes-bound ones —
-    # ops/pallas/mrf.py). 0 disables.
-    fuse_mrf_max_ch: int = 128
+    # Fuse a whole MRF level (18 convs) into ONE Pallas kernel with
+    # channels-major [C, T] tiles (ops/pallas/mrf.py) for levels with <=
+    # this many channels. Evaluated on v5e (batch 64, bf16): IN-LAYOUT the
+    # kernel beats XLA's per-conv path at low channel counts (C=32: 76.7
+    # vs 81.0 ms, C=64: 70.8 vs 85.8; C=128: 72.6 vs 59.1 — XLA wins), but
+    # END-TO-END the required [B,T,C]<->[B,C,T] layout conversions cost
+    # more than the kernel saves (level3 86.7 vs 62.7 ms, full hifigan-v1
+    # 1553 vs 1888 audio-s/s), so the option defaults OFF. Making it pay
+    # would need the whole low-channel tail (upsamplers + conv_post)
+    # channels-major — future work, the kernel and its parity tests stay.
+    fuse_mrf_max_ch: int = 0
 
     @property
     def hop_length(self) -> int:
@@ -253,10 +259,11 @@ class HiFiGANGenerator(nn.Module):
                     [pack_conv_weight(q['kernel']).astype(x.dtype)
                      for q in ps]))
                 weights.append(jnp.stack(
-                    [q['bias'].astype(x.dtype) for q in ps]))
+                    [q['bias'].astype(x.dtype) for q in ps])[:, :, None])
         out = mrf_pallas(jnp.swapaxes(x, 1, 2), tuple(weights),
                          tuple(self.resblock_kernel_sizes),
-                         tuple(self.resblock_dilation_sizes[0]))
+                         tuple(self.resblock_dilation_sizes[0]),
+                         im2col=True)
         return jnp.swapaxes(out, 1, 2)
 
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:

@@ -37,7 +37,9 @@ MAX_SHIFT = 32   # >= max single-conv tap offset ((11//2)*5 = 25), 8-aligned
 
 
 def _leaky(x):
-    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+    # max(x, s*x) == leaky_relu for 0 < s < 1, without the bf16 vector
+    # compare Mosaic does not support
+    return jnp.maximum(x, LRELU_SLOPE * x)
 
 
 def pack_conv_weight(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -47,27 +49,46 @@ def pack_conv_weight(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(kernel, (2, 0, 1)).reshape(cout, k * cin)
 
 
-def _mrf_kernel(x_ref, mask_ref, *rest, krs, dils, t_tile):
+def _mrf_kernel(x_ref, mask_ref, *rest, krs, dils, t_tile, im2col):
     """One (batch item, time tile). x_ref [1, 1, C, T_w]; mask_ref
     [1, 1, 1, T_w] (1.0 at global positions in [0, T)); rest = per-kr
-    (w1 [U, C, kr*C], b1 [U, C], w2, b2) ... , out_ref [1, 1, C, t_tile]."""
-    *wb, out_ref = rest
+    (w1 [U, C, kr*C], b1 [U, C, 1], w2, b2) ..., then an optional VMEM
+    scratch (when ``im2col``), then out_ref [1, 1, C, t_tile]."""
+    if im2col:  # pallas arg order: inputs..., outputs..., scratches
+        *wb, out_ref, scratch_ref = rest
+    else:
+        *wb, out_ref = rest
     c = x_ref.shape[2]
     t_w = x_ref.shape[3]
     x = x_ref[0, 0]
     mask = mask_ref[0, 0]
 
+    def conv_taps(a_ext, w, kr, dil):
+        # per-tap GEMM accumulation: y = sum_j W_j @ a[:, t+shift_j]
+        acc = None
+        for j in range(kr):
+            sh = MAX_SHIFT + (j - kr // 2) * dil
+            y_j = jax.lax.dot_general(
+                w[:, j * c:(j + 1) * c], a_ext[:, sh:sh + t_w],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y_j if acc is None else acc + y_j
+        return acc
+
+    def conv_im2col(a_ext, w, kr, dil):
+        # build [kr*C, T_w] in a scratch via strided stores, one GEMM with
+        # full K = kr*C contraction depth
+        for j in range(kr):
+            sh = MAX_SHIFT + (j - kr // 2) * dil
+            scratch_ref[j * c:(j + 1) * c, :] = a_ext[:, sh:sh + t_w]
+        return jax.lax.dot_general(
+            w, scratch_ref[:kr * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def conv(a, w, bias, kr, dil):
-        # zero-extend lanes so every dilated tap read is a static slice
         a_ext = jnp.pad(a, ((0, 0), (MAX_SHIFT, MAX_SHIFT)))
-        rows = [a_ext[:, MAX_SHIFT + (j - kr // 2) * dil:
-                      MAX_SHIFT + (j - kr // 2) * dil + t_w]
-                for j in range(kr)]
-        im = jnp.concatenate(rows, axis=0)               # [kr*C, T_w]
-        y = jax.lax.dot_general(
-            w, im, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(a.dtype)
-        return y + bias[:, None]
+        y = (conv_im2col if im2col else conv_taps)(a_ext, w, kr, dil)
+        return y.astype(a.dtype) + bias
 
     acc = jnp.zeros((c, t_w), jnp.float32)
     wb_i = 0
@@ -87,17 +108,20 @@ def _mrf_kernel(x_ref, mask_ref, *rest, krs, dils, t_tile):
     out_ref[0, 0] = out[:, HALO:HALO + t_tile]
 
 
-@partial(jax.jit, static_argnames=('krs', 'dils', 't_tile', 'interpret'))
+@partial(jax.jit, static_argnames=('krs', 'dils', 't_tile', 'interpret',
+                                   'im2col'))
 def mrf_pallas(x: jnp.ndarray,
                weights: Tuple[jnp.ndarray, ...],
                krs: Sequence[int],
                dils: Sequence[int],
                t_tile: int = 1024,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               im2col: bool = False) -> jnp.ndarray:
     """x [B, C, T] (channels-major!) -> [B, C, T].
 
-    ``weights``: flat tuple, per kr in order: (w1 [U, C, kr*C], b1 [U, C],
-    w2 [U, C, kr*C], b2 [U, C]) — pack with :func:`pack_conv_weight`.
+    ``weights``: flat tuple, per kr in order: (w1 [U, C, kr*C],
+    b1 [U, C, 1], w2 [U, C, kr*C], b2 [U, C, 1]) — pack with
+    :func:`pack_conv_weight` / biases as ``b[:, :, None]``.
     """
     b, c, t = x.shape
     interpret = interpret or jax.default_backend() != 'tpu'
@@ -121,9 +145,10 @@ def mrf_pallas(x: jnp.ndarray,
     mask = jnp.asarray(mask, x.dtype)[None, :, None, :]
     mask = jnp.broadcast_to(mask, (b, n_tiles, 1, t_w))
 
+    scratch = [pltpu.VMEM((max(krs) * c, t_w), x.dtype)] if im2col else []
     out = pl.pallas_call(
         partial(_mrf_kernel, krs=tuple(krs), dils=tuple(dils),
-                t_tile=t_tile),
+                t_tile=t_tile, im2col=im2col),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, c, t_w), lambda i, j: (i, j, 0, 0),
@@ -134,6 +159,7 @@ def mrf_pallas(x: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, c, t_tile), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles, c, t_tile), x.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(windows, mask, *weights)
 

@@ -42,7 +42,8 @@ def main():
     import jax.numpy as jnp
 
     from forwardtacotron_tpu.dsp.mel import mel_filterbank
-    from forwardtacotron_tpu.ops.stft import griffin_lim, stft_magnitude
+    from forwardtacotron_tpu.ops.stft import (griffin_lim_pair,
+                                          stft_magnitude)
     from forwardtacotron_tpu.utils.files import read_config
 
     config = read_config('configs/singlespeaker.yaml')
@@ -81,8 +82,11 @@ def main():
 
     @jax.jit
     def gl_batch(m):
-        return jax.vmap(lambda s: griffin_lim(
-            s, n_fft=n_fft, hop_length=hop, win_length=win, n_iter=32))(m)
+        # the production DSP.griffinlim path: complex-free DFT-matmul GL
+        key = jax.random.PRNGKey(0)
+        return jax.vmap(lambda s: griffin_lim_pair(
+            s, key, n_fft=n_fft, hop_length=hop, win_length=win,
+            n_iter=32))(m)
 
     seed_gl = jax.jit(lambda x0, y: x0 + (y[0, 0] * 0).astype(x0.dtype))
     dt = chained(lambda m: gl_batch(m), mags, seed_gl, n=5)

@@ -53,10 +53,13 @@ def main():
         x = g.conv_pre(mel.astype(g.dtype))
         for i in range(levels):
             x = g.ups[i](nn.leaky_relu(x, 0.1))
-            xs = g.resblocks[i * num_kernels](x)
-            for j in range(1, num_kernels):
-                xs = xs + g.resblocks[i * num_kernels + j](x)
-            x = xs / num_kernels
+            if g._mrf_fusable(x.shape[-1]):
+                x = g._mrf_fused(x, i)
+            else:
+                xs = g.resblocks[i * num_kernels](x)
+                for j in range(1, num_kernels):
+                    xs = xs + g.resblocks[i * num_kernels + j](x)
+                x = xs / num_kernels
         return x
 
     gen = HiFiGANGenerator(dtype=jnp.bfloat16)

@@ -21,7 +21,8 @@ def _pack(vars_per_kr):
                 [pack_conv_weight(p[f'{group}_{u}']['conv']['kernel'])
                  for u in range(3)]))
             weights.append(jnp.stack(
-                [p[f'{group}_{u}']['conv']['bias'] for u in range(3)]))
+                [p[f'{group}_{u}']['conv']['bias']
+                 for u in range(3)])[:, :, None])
     return tuple(weights)
 
 
