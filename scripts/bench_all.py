@@ -43,10 +43,13 @@ def main():
             out.setdefault(name, None)
 
     def serving():
-        r = run(['bench.py'], timeout=900)
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith('{')][-1]
-        d = json.loads(line)
+        r = run(['bench.py'], timeout=1200)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith('{')]
+        if not lines:
+            raise RuntimeError(
+                f'bench.py produced no JSON (rc={r.returncode}): '
+                f'{r.stderr.strip().splitlines()[-1:] if r.stderr else ""}')
+        d = json.loads(lines[-1])
         out['serving'] = d['value']
         out['mfu'] = d.get('mfu')
         out['text2wav'] = d.get('text2wav_audio_s_per_s')
