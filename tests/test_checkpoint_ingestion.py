@@ -118,3 +118,40 @@ def test_pinned_schema_matches_reference_and_converter(tmp_path):
                                'dropout': jax.random.PRNGKey(1)},
                               batch, train=False)
         validate_against(variables, ref_vars)
+
+
+@pytest.mark.slow
+def test_verify_reference_checkpoint_gate(tmp_path):
+    """The armed published-checkpoint gate (scripts/
+    verify_reference_checkpoint.py) must exit 2 with instructions when no
+    checkpoint exists and PASS end-to-end on a reference-format checkpoint
+    (reference torch model as oracle)."""
+    import os
+    import subprocess
+
+    import torch
+    from models.forward_tacotron import ForwardTacotron as TorchFT
+
+    from forwardtacotron_tpu.utils.files import read_config
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+
+    r = subprocess.run(
+        [sys.executable, 'scripts/verify_reference_checkpoint.py',
+         str(tmp_path / 'missing.pt')], capture_output=True, text=True,
+        env=env, timeout=120)
+    assert r.returncode == 2 and 'forward_step90k.pt' in r.stdout
+
+    config = read_config(str(REFERENCE_ROOT / 'configs'
+                             / 'singlespeaker.yaml'))
+    torch.manual_seed(11)
+    model = TorchFT.from_config(config).eval()
+    pt = tmp_path / 'forward_step90k.pt'
+    torch.save({'model': model.state_dict(), 'config': config}, str(pt))
+    r = subprocess.run(
+        [sys.executable, 'scripts/verify_reference_checkpoint.py', str(pt)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-1000:]
+    assert 'GATE PASSED' in r.stdout
