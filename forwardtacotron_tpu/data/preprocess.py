@@ -98,13 +98,26 @@ def make_speaker_encoder(n_mels: int):
         pass
     weights = find_resemblyzer_weights()
     if weights is not None:
-        from forwardtacotron_tpu.models.speaker_encoder import VoiceEncoder
-        encoder = VoiceEncoder(weights_path=weights)
+        from forwardtacotron_tpu.models.speaker_encoder import (
+            SAMPLE_RATE, VoiceEncoder, preprocess_for_embedding)
+        try:
+            encoder = VoiceEncoder(weights_path=weights)
+        except Exception as e:
+            # e.g. an unrelated checkpoint named pretrained.pt in
+            # ./checkpoints — warn and use the fallback rather than crash
+            # mid-preprocessing (ADVICE r3)
+            print(f'Speaker encoder: ignoring {weights} ({e}); '
+                  'using mel-stats fallback')
+            return MelStatsSpeakerEncoder(n_mels)
         print(f'Speaker encoder: native VoiceEncoder with {weights}')
 
         class _Resemblyzer:  # same name: signals the wav-needing path
             def embed(self, mel, wav=None, sample_rate=22050):
-                return encoder.embed_utterance(wav, source_sr=sample_rate)
+                # replicate resemblyzer's preprocess_wav (volume norm +
+                # VAD trim) so native-path embeddings match the reference
+                # pipeline's (reference preprocess.py:80,181)
+                wav16 = preprocess_for_embedding(wav, source_sr=sample_rate)
+                return encoder.embed_utterance(wav16, source_sr=SAMPLE_RATE)
         return _Resemblyzer()
     return MelStatsSpeakerEncoder(n_mels)
 

@@ -140,9 +140,16 @@ class DSP:
         # complex-free DFT-matmul Griffin-Lim: same algorithm/phase init as
         # ops.stft.griffin_lim (tracks it to ~3e-5) but every iteration is
         # MXU matmuls + reshapes — measured several times faster than the
-        # rfft/scatter formulation on TPU, and avoids complex64 transfers
-        wav = griffin_lim_pair(linear, key, self.n_fft, self.hop_length,
-                               self.win_length, n_iter=n_iter)
+        # rfft/scatter formulation on TPU, and avoids complex64 transfers.
+        # The pair path's strided-reshape overlap-add needs hop | n_fft;
+        # configs with a non-dividing hop (e.g. 2048/275) take the rfft
+        # formulation instead of asserting at trace time (ADVICE r3).
+        if self.n_fft % self.hop_length == 0:
+            wav = griffin_lim_pair(linear, key, self.n_fft, self.hop_length,
+                                   self.win_length, n_iter=n_iter)
+        else:
+            wav = griffin_lim(linear, key, self.n_fft, self.hop_length,
+                              self.win_length, n_iter=n_iter)
         return np.asarray(wav)
 
     # ------------------------------------------------------------------- trims

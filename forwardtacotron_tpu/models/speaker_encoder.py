@@ -77,11 +77,78 @@ def init_voice_encoder_params(seed: int = 0) -> Dict[str, np.ndarray]:
 def load_resemblyzer_weights(path: str) -> Dict[str, np.ndarray]:
     """Load resemblyzer's published ``pretrained.pt`` (torch checkpoint with
     the state_dict under 'model_state' in the official release, or a plain
-    state_dict)."""
+    state_dict).
+
+    Validates the key set against the VoiceEncoder architecture and raises
+    ``ValueError`` on mismatch — an unrelated checkpoint that happens to be
+    named ``pretrained.pt`` must not be silently treated as speaker-encoder
+    weights (callers fall back to the mel-stats encoder instead of crashing
+    mid-preprocessing)."""
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     state = ckpt.get('model_state', ckpt) if isinstance(ckpt, dict) else ckpt
-    return {k: v.detach().cpu().numpy() for k, v in state.items()}
+    if not isinstance(state, dict) or not all(
+            hasattr(v, 'detach') for v in state.values()):
+        raise ValueError(f'{path}: not a torch state_dict checkpoint')
+    expected = set(init_voice_encoder_params())
+    got = set(state)
+    if not expected <= got:
+        raise ValueError(
+            f'{path}: not Resemblyzer VoiceEncoder weights '
+            f'(missing keys e.g. {sorted(expected - got)[:3]})')
+    params = {k: state[k].detach().cpu().numpy() for k in expected}
+    shapes = {k: v.shape for k, v in params.items()}
+    ref_shapes = {k: v.shape for k, v in init_voice_encoder_params().items()}
+    if shapes != ref_shapes:
+        bad = {k: (shapes[k], ref_shapes[k])
+               for k in shapes if shapes[k] != ref_shapes[k]}
+        raise ValueError(f'{path}: VoiceEncoder weight shapes mismatch {bad}')
+    return params
+
+
+AUDIO_NORM_TARGET_DBFS = -30.0
+VAD_WINDOW_LENGTH = 30          # ms
+VAD_MOVING_AVERAGE_WIDTH = 8
+VAD_MAX_SILENCE_LENGTH = 6
+
+
+def normalize_volume(wav: np.ndarray,
+                     target_dbfs: float = AUDIO_NORM_TARGET_DBFS,
+                     increase_only: bool = False,
+                     decrease_only: bool = False) -> np.ndarray:
+    """resemblyzer audio.py normalize_volume: scale to a target dBFS."""
+    power = float(np.mean(np.square(wav))) if len(wav) else 0.0
+    if power <= 0:
+        return wav
+    change = target_dbfs - 10.0 * np.log10(power)
+    if (change < 0 and increase_only) or (change > 0 and decrease_only):
+        return wav
+    return wav * (10.0 ** (change / 20.0))
+
+
+def preprocess_for_embedding(wav: np.ndarray, source_sr: int) -> np.ndarray:
+    """resemblyzer's ``preprocess_wav``: resample to 16 kHz, normalize
+    volume to -30 dBFS (increase only), then VAD-trim long silences with
+    resemblyzer's constants (window 30 ms, moving average 8, max silence 6,
+    webrtcvad mode 3 — energy VAD fallback when webrtcvad is absent).
+
+    The reference applies this before ``embed_utterance``
+    (reference preprocess.py:80,181); the native encoder path must match it
+    or embeddings drift from the reference pipeline's (ADVICE r3). Returns
+    a 16 kHz waveform — pass ``source_sr=16000`` to ``embed_utterance``."""
+    from forwardtacotron_tpu.dsp.dsp import DSP, resample
+    wav = np.asarray(wav, np.float32)
+    if source_sr != SAMPLE_RATE:
+        wav = resample(wav, source_sr, SAMPLE_RATE)
+    wav = normalize_volume(wav, increase_only=True)
+    vad = DSP(num_mels=MEL_N_CHANNELS, sample_rate=SAMPLE_RATE,
+              hop_length=MEL_HOP, win_length=MEL_N_FFT, n_fft=MEL_N_FFT,
+              fmin=0.0, fmax=SAMPLE_RATE / 2.0,
+              vad_sample_rate=SAMPLE_RATE,
+              vad_window_length=VAD_WINDOW_LENGTH,
+              vad_moving_average_width=VAD_MOVING_AVERAGE_WIDTH,
+              vad_max_silence_length=VAD_MAX_SILENCE_LENGTH)
+    return vad.trim_long_silences(wav)
 
 
 def _forward_embed(params: Dict[str, np.ndarray],

@@ -134,16 +134,19 @@ def verify(path: Path) -> bool:
         ref_mel = ref_out['mel_post'].squeeze(0).numpy()  # [n_mels, T]
 
         out = inference.generate_cropped(np.asarray(ids, np.int64))
+        # compare the UNcropped frame count first: cropping before the
+        # length check would hide over-generation (ADVICE r3)
+        t_got = out['mel_post'].shape[1]
+        len_match = t_got == ref_mel.shape[1]
         got_mel = out['mel_post'][:, :ref_mel.shape[1]]
         t = min(got_mel.shape[1], ref_mel.shape[1])
         mae = float(np.abs(got_mel[:, :t] - ref_mel[:, :t]).mean())
         close = np.allclose(got_mel[:, :t], ref_mel[:, :t], atol=1e-3)
-        len_match = got_mel.shape[1] == ref_mel.shape[1]
         status = 'PASS' if (close and len_match) else 'FAIL'
         if status == 'FAIL':
             ok = False
         print(f'   [{status}] "{sent[:40]}..." mel MAE {mae:.2e} '
-              f'T ref={ref_mel.shape[1]} got={got_mel.shape[1]}')
+              f'T ref={ref_mel.shape[1]} got={t_got}')
     return ok
 
 

@@ -59,19 +59,33 @@ def test_mrf_kernel_multi_tile_and_edges():
 
 def test_generator_fused_path_matches_unfused(monkeypatch):
     """Full HiFiGANGenerator with the fused MRF forced on (interpret on
-    CPU) vs fuse_mrf_max_ch=0."""
+    CPU) vs fuse_mrf_max_ch=0. gen_fused must carry a nonzero threshold —
+    both generators defaulting to 0 once made this test compare the
+    unfused path against itself (ADVICE r3)."""
     cfg = dict(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
                upsample_initial_channel=32, num_mels=8)
-    gen_fused = HiFiGANGenerator(**cfg)
+    gen_fused = HiFiGANGenerator(fuse_mrf_max_ch=64, **cfg)
     gen_plain = HiFiGANGenerator(fuse_mrf_max_ch=0, **cfg)
     rs = np.random.RandomState(2)
     mel = jnp.asarray(rs.randn(2, 40, 8).astype(np.float32))
     variables = gen_plain.init(jax.random.PRNGKey(0), mel)
 
+    # bypass only the TPU-backend gate; keep the threshold logic live so
+    # gen_plain (threshold 0) stays on the per-conv path
     monkeypatch.setattr(HiFiGANGenerator, '_mrf_fusable',
                         lambda self, ch: not self.is_initializing()
-                        and self.fuse_mrf_max_ch > 0)
+                        and 0 < ch <= self.fuse_mrf_max_ch)
+    fused_calls = []
+    orig_fused = HiFiGANGenerator._mrf_fused
+
+    def spy(self, x, level):
+        fused_calls.append(level)
+        return orig_fused(self, x, level)
+
+    monkeypatch.setattr(HiFiGANGenerator, '_mrf_fused', spy)
     ref = gen_plain.apply(variables, mel)
+    assert fused_calls == []          # plain generator never fused
     got = gen_fused.apply(variables, mel)
+    assert fused_calls == [0, 1]      # both low-channel levels fused
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-5)

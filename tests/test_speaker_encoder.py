@@ -83,3 +83,51 @@ def test_embed_utterance_end_to_end():
     # deterministic
     emb2 = enc.embed_utterance(wav, source_sr=22050)
     np.testing.assert_allclose(emb, emb2, atol=1e-6)
+
+
+def test_load_weights_rejects_unrelated_checkpoint(tmp_path):
+    """An arbitrary .pt named like Resemblyzer weights must raise (so
+    preprocessing falls back to the mel-stats encoder instead of crashing
+    with a KeyError mid-run)."""
+    from forwardtacotron_tpu.models.speaker_encoder import \
+        load_resemblyzer_weights
+    bogus = tmp_path / 'pretrained.pt'
+    torch.save({'model': {'some.layer': torch.zeros(3)}}, str(bogus))
+    with pytest.raises(ValueError):
+        load_resemblyzer_weights(str(bogus))
+    # wrong shapes under the right key names also rejected
+    bad = {k: torch.zeros(1) for k in init_voice_encoder_params()}
+    torch.save(bad, str(bogus))
+    with pytest.raises(ValueError):
+        load_resemblyzer_weights(str(bogus))
+    # a correctly-shaped state dict loads
+    good = {k: torch.from_numpy(v)
+            for k, v in init_voice_encoder_params(seed=5).items()}
+    torch.save(good, str(bogus))
+    params = load_resemblyzer_weights(str(bogus))
+    assert set(params) == set(init_voice_encoder_params())
+
+
+def test_preprocess_for_embedding_matches_resemblyzer_semantics():
+    """Volume normalization to -30 dBFS (increase only) + VAD trim at
+    16 kHz, mirroring resemblyzer's preprocess_wav (reference
+    preprocess.py:80,181)."""
+    from forwardtacotron_tpu.models.speaker_encoder import (
+        AUDIO_NORM_TARGET_DBFS, normalize_volume, preprocess_for_embedding)
+    rs = np.random.RandomState(2)
+    quiet = (rs.randn(16000) * 0.001).astype(np.float32)
+    boosted = normalize_volume(quiet, increase_only=True)
+    got_dbfs = 10.0 * np.log10(np.mean(boosted ** 2))
+    np.testing.assert_allclose(got_dbfs, AUDIO_NORM_TARGET_DBFS, atol=1e-3)
+    # increase_only: already-loud audio is untouched
+    loud = (rs.randn(16000) * 0.5).astype(np.float32)
+    np.testing.assert_array_equal(normalize_volume(loud, increase_only=True),
+                                  loud)
+
+    # silence gap between two voiced spans is shortened by the VAD trim
+    t = np.arange(16000) / 16000.0
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = np.concatenate([tone, np.zeros(16000 * 2, np.float32), tone])
+    out = preprocess_for_embedding(wav, source_sr=16000)
+    assert len(out) < len(wav)
+    assert len(out) >= len(tone)  # voiced content retained
