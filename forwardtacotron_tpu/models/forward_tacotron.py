@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from forwardtacotron_tpu.models.layers import (CBHG, BatchNormConv, BiGRU,
-                                               BiLSTM, make_len_mask,
-                                               multi_bigru)
+                                               BiLSTM, frame_trunk,
+                                               make_len_mask, multi_bigru)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
                                                       length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
@@ -236,9 +236,8 @@ class ForwardTacotron(nn.Module):
         energy_proj = self.energy_proj(energy[:, :, None])
         h = h + energy_proj * self.energy_strength
 
-        h = length_regulator_auto(h, dur, max_len=max_len)
-
         if mel_lens is not None:
+            h = length_regulator_auto(h, dur, max_len=max_len)
             h = self.lstm(h, lengths=mel_lens)
             pad_mask = make_len_mask(mel_lens, max_len)
             h = jnp.where(pad_mask[:, :, None], self.padding_value, h)
@@ -257,12 +256,17 @@ class ForwardTacotron(nn.Module):
                                  self.post_proj(post))
         else:
             lengths = expanded_lengths(dur)
-            h = self.lstm(h, lengths=lengths)
+            raw = self._frame_trunk(h, dur, lengths, max_len)
             tail = make_len_mask(lengths, max_len)[:, :, None]
-            mel = jnp.where(tail, 0.0, self.lin(h))
+            mel = jnp.where(tail, 0.0, raw)
             post = self.postnet(mel, train=train, lengths=lengths)
             mel_post = jnp.where(tail, 0.0, self.post_proj(post))
         return mel, mel_post
+
+    def _frame_trunk(self, h: jnp.ndarray, dur: jnp.ndarray,
+                     lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+        return frame_trunk(self, h, dur, lengths, max_len,
+                           self.lstm, self.lin, self.rnn_dims)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> 'ForwardTacotron':

@@ -92,6 +92,11 @@ def flip_sequences(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarra
     t = x.shape[1]
     pos = jnp.arange(t)[None, :]
     idx = jnp.where(pos < lengths[:, None], lengths[:, None] - 1 - pos, pos)
+    # clamp: lengths may exceed T under a fixed serving frame budget
+    # (generate_fused crops over-budget durations); take_along_axis's
+    # default out-of-bounds mode is 'fill' (NaN), which would poison the
+    # whole item instead of cropping it
+    idx = jnp.minimum(idx, t - 1)
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
@@ -290,13 +295,49 @@ def multi_bigru(entries) -> list:
 class BiLSTM(nn.Module):
     hidden: int
 
-    @nn.compact
+    def setup(self):
+        self.fwd = _RNNDirParams(self.hidden, 4)
+        self.bwd = _RNNDirParams(self.hidden, 4)
+
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_dim = x.shape[-1]
-        fwd = _RNNDirParams(self.hidden, 4, name='fwd')(in_dim)
-        bwd = _RNNDirParams(self.hidden, 4, name='bwd')(in_dim)
-        return _bidir_scan(x, lengths, fwd, bwd, _lstm_step, self.hidden, 2)
+        return _bidir_scan(x, lengths, self.fwd(in_dim), self.bwd(in_dim),
+                           _lstm_step, self.hidden, 2)
+
+    def dir_params(self, in_dim: int):
+        """(fwd, bwd) gate weights, each (wi, wh, bi, bh) — the fused
+        serving trunk (ops/pallas/rnn.py lstm_lr_mel_pallas) consumes the
+        raw weights instead of calling this module."""
+        return self.fwd(in_dim), self.bwd(in_dim)
+
+
+def frame_trunk(module: nn.Module, h: jnp.ndarray, dur: jnp.ndarray,
+                lengths: jnp.ndarray, max_len: int,
+                lstm: BiLSTM, lin: nn.Dense, rnn_dims: int) -> jnp.ndarray:
+    """Serving frame-rate trunk shared by the forward models: LR -> bi-LSTM
+    -> mel Dense (reference forward_tacotron.py:145-154).
+
+    On TPU in bf16 serving mode this dispatches to the fused Pallas trunk
+    (ops/pallas/rnn.py lstm_lr_mel_pallas): the [B, T, in_dim] expanded
+    activations and the [B, T, 2*rnn_dims] LSTM states never round-trip
+    HBM. Elsewhere (training, f32, CPU) it is the plain op chain."""
+    from forwardtacotron_tpu.ops.length_regulator import \
+        length_regulator_auto
+    from forwardtacotron_tpu.ops.pallas import rnn as pallas_rnn
+    in_dim = h.shape[-1]
+    if (not module.is_initializing()
+            and not pallas_rnn.pallas_rnns_trainable()
+            and pallas_rnn.eligible(h.dtype, in_dim, rnn_dims)
+            and in_dim % 128 == 0):
+        fwd, bwd = lstm.dir_params(in_dim)
+        lin_p = lin.variables['params']
+        return pallas_rnn.lstm_lr_mel_sharded(
+            h, dur, fwd, bwd, rnn_dims, lin_p['kernel'], lin_p['bias'],
+            max_len)
+    h = length_regulator_auto(h, dur, max_len=max_len)
+    h = lstm(h, lengths=lengths)
+    return lin(h)
 
 
 # ----------------------------------------------------------------------- CBHG
@@ -462,9 +503,95 @@ class PositionalEncoding(nn.Module):
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
+def attn_blockwise_threshold() -> int:
+    """Sequence length at which deterministic self-attention switches to the
+    blockwise (flash-style) schedule. FastPitch's post-LR attention is the
+    only O(T^2)-in-frames op in the model family (reference
+    fast_pitch.py:156); above this many frames the [B, H, T, T] logits
+    tensor would dominate memory (16k frames = 1 GiB per head-batch), so
+    long-article synthesis uses the O(T) schedule instead. Override with
+    FTT_ATTN_BLOCK_T (tests set it low to force the path)."""
+    import os
+    return int(os.environ.get('FTT_ATTN_BLOCK_T', 2048))
+
+
+def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        key_pad_mask: Optional[jnp.ndarray],
+                        block_q: int = 512,
+                        block_k: int = 512) -> jnp.ndarray:
+    """Exact softmax attention with O(T) memory: online-softmax (running
+    max / denominator) over key blocks, scanned over query blocks — the
+    [T, T] score matrix never materializes. Same math as the full path
+    (including masked-row -> zeros semantics), so outputs agree to fp
+    rounding; no approximation or windowing.
+
+    q, k, v: [B, H, T, D]; key_pad_mask: [B, T] bool, True = padding.
+    """
+    b, h, t, d = q.shape
+    neg = jnp.float32(-1e30)
+    scale = 1.0 / math.sqrt(d)
+    nq = -(-t // block_q)
+    nk = -(-t // block_k)
+    in_dtype = q.dtype
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, nq * block_q - t), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, nk * block_k - t), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk * block_k - t), (0, 0)))
+    if key_pad_mask is None:
+        key_pad_mask = jnp.zeros((b, t), bool)
+    mp = jnp.pad(key_pad_mask, ((0, 0), (0, nk * block_k - t)),
+                 constant_values=True)
+
+    q_blocks = jnp.moveaxis(
+        qp.reshape(b, h, nq, block_q, d), 2, 0)           # [nq, B, H, bq, D]
+    k_blocks = jnp.moveaxis(
+        kp.reshape(b, h, nk, block_k, d), 2, 0)           # [nk, B, H, bk, D]
+    v_blocks = jnp.moveaxis(
+        vp.reshape(b, h, nk, block_k, d), 2, 0)
+    m_blocks = jnp.moveaxis(
+        mp.reshape(b, nk, block_k), 1, 0)                 # [nk, B, bk]
+
+    def per_q(_, q_blk):
+        def step(carry, inp):
+            k_b, v_b, pad_b = inp
+            m, l, acc = carry
+            s = jnp.einsum('bhqd,bhkd->bhqk', q_blk, k_b,
+                           preferred_element_type=jnp.float32) * scale
+            s = jnp.where(pad_b[:, None, None, :], neg, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                'bhqk,bhkd->bhqd', p.astype(v_b.dtype), v_b,
+                preferred_element_type=jnp.float32)
+            return (m_new, l, acc), None
+
+        m0 = jnp.full((b, h, block_q), neg, jnp.float32)
+        l0 = jnp.zeros((b, h, block_q), jnp.float32)
+        acc0 = jnp.zeros((b, h, block_q, d), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(step, (m0, l0, acc0),
+                                      (k_blocks, v_blocks, m_blocks))
+        out = acc / jnp.maximum(l, 1e-30)[..., None]
+        return None, out.astype(in_dtype)
+
+    _, out = jax.lax.scan(per_q, None, q_blocks)          # [nq, B, H, bq, D]
+    out = jnp.moveaxis(out, 0, 2).reshape(b, h, nq * block_q, d)[:, :, :t]
+    # items whose keys are ALL padding: the full path yields zeros
+    # (softmax NaN -> 0); here the masked logits all equal `neg`, so
+    # normalize that case to zeros explicitly
+    all_masked = jnp.all(key_pad_mask, axis=-1)
+    return jnp.where(all_masked[:, None, None, None], 0.0, out)
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with torch ``MultiheadAttention`` parameterization
-    (joint in-projection split into q/k/v) and key-padding masking."""
+    (joint in-projection split into q/k/v) and key-padding masking.
+
+    Deterministic (inference) calls at sequence lengths >=
+    :func:`attn_blockwise_threshold` take the blockwise schedule — exact
+    softmax, O(T) memory — so FastPitch long-article synthesis never
+    materializes the [T, T] score matrix (SURVEY §2.7 SP/CP)."""
     d_model: int
     n_heads: int
     dropout: float = 0.1
@@ -485,13 +612,20 @@ class MultiHeadAttention(nn.Module):
             return a.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(head_dim)
-        if key_pad_mask is not None:  # [B, T] True = padding
-            logits = jnp.where(key_pad_mask[:, None, None, :], -jnp.inf, logits)
-        weights = jax.nn.softmax(logits, axis=-1)
-        weights = jnp.where(jnp.isnan(weights), 0.0, weights)
-        weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
-        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        if not train and t >= attn_blockwise_threshold():
+            # attention-weight dropout is identity when deterministic, so
+            # the blockwise path (which has no weights tensor to drop) is
+            # exactly equivalent
+            out = blockwise_attention(q, k, v, key_pad_mask)
+        else:
+            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(head_dim)
+            if key_pad_mask is not None:  # [B, T] True = padding
+                logits = jnp.where(key_pad_mask[:, None, None, :],
+                                   -jnp.inf, logits)
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = jnp.where(jnp.isnan(weights), 0.0, weights)
+            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+            out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, name='out_proj')(out)
 

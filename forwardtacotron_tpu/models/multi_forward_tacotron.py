@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from forwardtacotron_tpu.models.layers import (CBHG, BatchNormConv, BiGRU,
-                                               BiLSTM, make_len_mask)
+                                               BiLSTM, frame_trunk,
+                                               make_len_mask)
 from forwardtacotron_tpu.ops.length_regulator import (expanded_lengths,
                                                       length_regulator_auto)
 from forwardtacotron_tpu.text.symbols import phonemes
@@ -208,9 +209,8 @@ class MultiForwardTacotron(nn.Module):
         h = h + self.pitch_proj(pitch[:, :, None]) * self.pitch_strength
         h = h + self.energy_proj(energy[:, :, None]) * self.energy_strength
 
-        h = length_regulator_auto(h, dur, max_len=max_len)
-
         if mel_lens is not None:
+            h = length_regulator_auto(h, dur, max_len=max_len)
             h = self.lstm(h, lengths=mel_lens)
             pad_mask = make_len_mask(mel_lens, max_len)
             h = jnp.where(pad_mask[:, :, None], self.padding_value, h)
@@ -225,9 +225,10 @@ class MultiForwardTacotron(nn.Module):
                                  self.post_proj(post))
         else:
             lengths = expanded_lengths(dur)
-            h = self.lstm(h, lengths=lengths)
+            raw = frame_trunk(self, h, dur, lengths, max_len,
+                              self.lstm, self.lin, self.rnn_dims)
             tail = make_len_mask(lengths, max_len)[:, :, None]
-            mel = jnp.where(tail, 0.0, self.lin(h))
+            mel = jnp.where(tail, 0.0, raw)
             post = self.postnet(mel, train=train, lengths=lengths)
             mel_post = jnp.where(tail, 0.0, self.post_proj(post))
         return mel, mel_post

@@ -104,3 +104,81 @@ def length_regulator_pallas(x: jnp.ndarray,
     identical output to ops.length_regulator.length_regulator.
     """
     return _lr_pallas(x, dur, max_len, interpret)
+
+
+# ------------------------------------------------- bidirectional LR (serving)
+
+# 64-frame time tile: at serving shapes (b_tile 16, C 512) a 128-frame tile
+# put block+scratch at 16.7 MB, just over the 16 MB scoped-VMEM limit
+LRB_T_TILE = 64
+
+
+def _lr_bidir_kernel(starts_ref, ends_ref, lens_ref, x_ref, out_ref, acc_scr,
+                     *, b_tile, t_tile, t_total):
+    """One program: for each of its b_tile items, build the forward AND the
+    per-item-flipped selection tiles and contract both with the token
+    features in ONE MXU dot; results land in a [b_tile, 2, t_tile, C]
+    scratch (contiguous writes) and flush to the output block with a single
+    transpose — per-item strided writes into the (dir, batch) middle dims
+    were the slow alternative."""
+    t0 = pl.program_id(1) * t_tile
+    n = x_ref.shape[1]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t_tile, n), 0) + t0
+    for k in range(b_tile):
+        starts = starts_ref[k, :][None, :]
+        ends = ends_ref[k, :][None, :]
+        length = lens_ref[k, 0]
+        # backward-direction frame index: the valid prefix reversed, with
+        # torch-gather clip semantics for over-budget durations
+        # (models/layers.py flip_sequences + take_along_axis 'clip')
+        f_bwd = jnp.minimum(length - 1 - t_ids, t_total - 1)
+        sel = jnp.concatenate(
+            [(t_ids >= starts) & (t_ids < ends),
+             (f_bwd >= starts) & (f_bwd < ends)], axis=0).astype(x_ref.dtype)
+        r = jnp.dot(sel, x_ref[k],
+                    preferred_element_type=jnp.float32)     # [2*t_tile, C]
+        acc_scr[k] = r.reshape(2, t_tile, -1).astype(acc_scr.dtype)
+    out_ref[...] = jnp.transpose(acc_scr[...], (2, 1, 0, 3))
+
+
+@partial(jax.jit, static_argnames=('max_len', 'interpret'))
+def length_regulator_bidir_pallas(x: jnp.ndarray,
+                                  starts: jnp.ndarray,
+                                  ends: jnp.ndarray,
+                                  max_len: int,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """[B, N, C] tokens + frame spans -> [T, 2, B, C]: the fused RNN
+    kernels' input layout, with dir 0 the forward frame order and dir 1 the
+    per-item length-flipped order (ops/pallas/rnn.py wants the backward
+    direction's sequence pre-flipped). Replaces LR + stack + flip +
+    transpose — three full [B, T, C] HBM round-trips — with one kernel that
+    writes the stacked layout directly. Inference-only (no VJP).
+    """
+    from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+    b, n, c = x.shape
+    assert max_len % LRB_T_TILE == 0, \
+        f'max_len must be a multiple of {LRB_T_TILE} (serving buckets are)'
+    b_tile = next(bt for bt in (16, 8, 4, 2, 1) if b % bt == 0)
+    lens = ends[:, -1].astype(jnp.int32)[:, None]   # SMEM wants rank >= 2
+
+    return pl.pallas_call(
+        partial(_lr_bidir_kernel, b_tile=b_tile, t_tile=LRB_T_TILE,
+                t_total=max_len),
+        grid=(b // b_tile, max_len // LRB_T_TILE),
+        in_specs=[
+            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_tile, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LRB_T_TILE, 2, b_tile, c),
+                               lambda i, j: (j, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((max_len, 2, b, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b_tile, 2, LRB_T_TILE, c), x.dtype)],
+        interpret=interpret or interpret_forced(),
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32), lens, x)

@@ -78,6 +78,15 @@ def pallas_rnns_trainable() -> bool:
     return _STATE['mode'] == 'train'
 
 
+def interpret_forced() -> bool:
+    """FTT_PALLAS_INTERPRET=1 runs every Pallas kernel in interpret mode and
+    makes them eligible off-TPU — lets CPU tests exercise the exact serving
+    dispatch path (model-level fused-kernel integration) instead of only the
+    kernels in isolation."""
+    import os
+    return os.environ.get('FTT_PALLAS_INTERPRET', '0') == '1'
+
+
 def eligible(dtype, in_dim: int, hidden: int) -> bool:
     """True when the fused kernel supports this shape/dtype and the caller
     opted in. bf16-only: f32 LSTM weights would not fit VMEM."""
@@ -85,7 +94,7 @@ def eligible(dtype, in_dim: int, hidden: int) -> bool:
             and dtype == jnp.bfloat16
             and hidden % 128 == 0
             and in_dim % 16 == 0
-            and jax.default_backend() == 'tpu')
+            and (jax.default_backend() == 'tpu' or interpret_forced()))
 
 
 def _pick_bb(b: int, cap: int = 256) -> int:
@@ -135,6 +144,45 @@ def _lstm_kernel(x_ref, wi_ref, wh_ref, b_ref, out_ref, h_scr, c_scr):
     h_scr[...] = h_new.astype(h_scr.dtype)
     c_scr[...] = c.astype(c_scr.dtype)
     out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+def _lstm_mel_kernel(x_ref, wi_ref, wh_ref, b_ref, wm_ref, out_ref,
+                     h_scr, c_scr):
+    """LSTM step fused with the mel output projection: instead of writing
+    the [2, BB, H] hidden states to HBM (the serving trunk only consumes
+    them through the mel Dense, reference forward_tacotron.py:154), each
+    step writes h_t @ Wmel per direction — [2, BB, MELP] with MELP=128 vs
+    H=512, a 4x cut in output traffic, and the standalone mel_linear
+    dispatch (plus its [B, T, 2H] re-read) disappears entirely."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros(h_scr.shape, h_scr.dtype)
+        c_scr[...] = jnp.zeros(c_scr.shape, c_scr.dtype)
+
+    x_t = x_ref[0]                                   # [2, BB, I]
+    h = h_scr[...]                                   # [2, BB, H]
+    dims = (((2,), (1,)), ((0,), (0,)))
+    gx = jax.lax.dot_general(x_t, wi_ref[...], dims,
+                             preferred_element_type=jnp.float32)
+    gh = jax.lax.dot_general(h, wh_ref[...], dims,
+                             preferred_element_type=jnp.float32)
+    gates = gx + gh + b_ref[...][:, None, :].astype(jnp.float32)
+
+    hd = h_scr.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :hd])
+    f = jax.nn.sigmoid(gates[..., hd:2 * hd])
+    g = jnp.tanh(gates[..., 2 * hd:3 * hd])
+    o = jax.nn.sigmoid(gates[..., 3 * hd:])
+    c = f * c_scr[...].astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c)
+
+    h_scr[...] = h_new.astype(h_scr.dtype)
+    c_scr[...] = c.astype(c_scr.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        h_new.astype(wm_ref.dtype), wm_ref[...], dims,
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _gru_kernel(x_ref, wi_ref, wh_ref, bi_ref, bh_ref, out_ref, h_scr):
@@ -203,9 +251,11 @@ def _stack_time_major(x2):
 
 
 def _run(kernel, inputs, t, b, bb, hidden, dtype, n_state, interpret,
-         scratch=None):
+         scratch=None, out_dim=None):
     grid = (b // bb, t)
     x_like = inputs[0]
+    if out_dim is None:
+        out_dim = hidden
     in_specs = [pl.BlockSpec((1, 2, bb, x_like.shape[-1]),
                              lambda i, j: (j, 0, i, 0),
                              memory_space=pltpu.VMEM)]
@@ -218,12 +268,12 @@ def _run(kernel, inputs, t, b, bb, hidden, dtype, n_state, interpret,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2, bb, hidden),
+        out_specs=pl.BlockSpec((1, 2, bb, out_dim),
                                lambda i, j: (j, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 2, b, hidden), dtype),
+        out_shape=jax.ShapeDtypeStruct((t, 2, b, out_dim), dtype),
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=interpret or interpret_forced(),
     )(*inputs)
 
 
@@ -342,6 +392,100 @@ def gru_from_xp_pallas(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
     hs = _run(_gru_xp_kernel, (xp2, wh.astype(dtype), bh_t),
               t, b, bb, hidden, dtype, 1, interpret)
     return hs, b_true
+
+
+def lstm_lr_mel_pallas(x_tok: jnp.ndarray, dur: jnp.ndarray,
+                       fwd_params: Tuple, bwd_params: Tuple, hidden: int,
+                       w_mel: jnp.ndarray, b_mel: jnp.ndarray,
+                       max_len: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused frame-rate serving trunk: LR + bi-LSTM + mel projection.
+
+    x_tok: [B, N, C] token-rate activations (post prenet + pitch/energy
+    projections); dur: [B, N] float durations; w_mel: [2H, M] / b_mel: [M]
+    the mel Dense. Returns [B, max_len, M] = lin(bilstm(expand(x_tok, dur)))
+    — the reference's LR -> pack_padded bi-LSTM -> Linear chain
+    (reference forward_tacotron.py:145-154) as two Pallas kernels:
+
+      1. the bidirectional LR writes the expanded activations straight in
+         the LSTM kernel's [T, 2, B, C] layout (forward + per-item flipped)
+         — the [B, T, C] expansion plus its stack/flip/transpose round
+         trips never exist in HBM;
+      2. the LSTM kernel applies the mel Dense per step in its output
+         stage, so the [T, 2, B, H] hidden states never hit HBM either —
+         only [T, 2, B, 128] mel partials do (fwd/bwd halves), combined
+         with one flip-add outside.
+
+    Inference-only (no VJP); numerics match the XLA path to bf16 rounding.
+    """
+    from forwardtacotron_tpu.models.layers import flip_sequences
+    from forwardtacotron_tpu.ops.length_regulator import duration_spans
+    from forwardtacotron_tpu.ops.pallas.length_regulator import \
+        length_regulator_bidir_pallas
+
+    from forwardtacotron_tpu.ops.pallas.length_regulator import LRB_T_TILE
+
+    dtype = x_tok.dtype
+    bb = _pick_bb(x_tok.shape[0])
+    x_tok, b_true = _pad_batch(x_tok, bb)
+    dur, _ = _pad_batch(dur, bb)
+    b, n, c = x_tok.shape
+    starts, ends = duration_spans(dur)
+
+    # pad T to the LR kernel's time tile (serving buckets can be any
+    # multiple of the 32-frame routing granularity); the <= LRB_T_TILE-1
+    # extra LSTM steps run on zero frames and are cropped below
+    t_run = -(-max_len // LRB_T_TILE) * LRB_T_TILE
+
+    x2 = length_regulator_bidir_pallas(x_tok, starts, ends, t_run,
+                                       interpret)
+    x2 = jax.lax.optimization_barrier(x2)
+
+    wi = jnp.stack([fwd_params[0], bwd_params[0]]).astype(dtype)
+    wh = jnp.stack([fwd_params[1], bwd_params[1]]).astype(dtype)
+    bias = jnp.stack([fwd_params[2] + fwd_params[3],
+                      bwd_params[2] + bwd_params[3]]).astype(dtype)
+
+    m = w_mel.shape[-1]
+    mp = -(-m // 128) * 128
+    wm = jnp.stack([w_mel[:hidden], w_mel[hidden:]]).astype(dtype)
+    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, mp - m)))
+
+    parts = _run(_lstm_mel_kernel, (x2, wi, wh, bias, wm), t_run, b, bb,
+                 hidden, dtype, 2, interpret, out_dim=mp)
+    fwd = jnp.transpose(parts[:, 0], (1, 0, 2))[..., :m]
+    bwd = jnp.transpose(parts[:, 1], (1, 0, 2))[..., :m]
+    lengths = ends[:, -1]
+    mel = fwd + flip_sequences(bwd, lengths) + b_mel.astype(dtype)
+    return mel[:b_true, :max_len]
+
+
+def lstm_lr_mel_sharded(x_tok: jnp.ndarray, dur: jnp.ndarray,
+                        fwd_params: Tuple, bwd_params: Tuple, hidden: int,
+                        w_mel: jnp.ndarray, b_mel: jnp.ndarray,
+                        max_len: int,
+                        interpret: bool = False,
+                        mesh=None, data_axis: str = 'data') -> jnp.ndarray:
+    """lstm_lr_mel_pallas, shard_mapped over the data axis when a mesh is
+    active (see bidir_rnn_pallas_sharded)."""
+    if mesh is None:
+        mesh, data_axis = sharding_ctx()
+    if mesh is None:
+        return lstm_lr_mel_pallas(x_tok, dur, fwd_params, bwd_params,
+                                  hidden, w_mel, b_mel, max_len, interpret)
+
+    P = jax.sharding.PartitionSpec
+    rep = jax.tree.map(lambda _: P(),
+                       (fwd_params, bwd_params, w_mel, b_mel))
+
+    def body(x_tok, dur, fwd, bwd, w_mel, b_mel):
+        return lstm_lr_mel_pallas(x_tok, dur, fwd, bwd, hidden,
+                                  w_mel, b_mel, max_len, interpret)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(data_axis), P(data_axis)) + rep,
+                       out_specs=P(data_axis), check_vma=False)
+    return fn(x_tok, dur, fwd_params, bwd_params, w_mel, b_mel)
 
 
 def gru_from_xp_pallas_sharded(xp_f: jnp.ndarray, xp_b: jnp.ndarray,
