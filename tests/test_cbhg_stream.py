@@ -1,0 +1,40 @@
+"""Parity of the off-by-default CBHG streamed bank->pool->proj1 inference
+path (models/layers.py _bank_pool_proj1_streamed) vs the reference op order
+— with and without exact-length masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forwardtacotron_tpu.models.layers import CBHG
+
+
+def _mk(stream):
+    return CBHG(K=4, channels=32, proj_channels=[32, 16], num_highways=2,
+                dropout=0.0, stream_pool_proj=stream)
+
+
+def test_streamed_pool_proj_matches_reference_order():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 23, 16).astype(np.float32))
+    ref_mod, st_mod = _mk(False), _mk(True)
+    v = ref_mod.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    # perturb BN stats so the eval-normalize math is exercised
+    v = jax.tree.map(lambda a: a, v)
+
+    want = ref_mod.apply(v, x, train=False)
+    got = st_mod.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+    lengths = jnp.array([23, 11, 5])
+    want_l = ref_mod.apply(v, x, train=False, lengths=lengths)
+    got_l = st_mod.apply(v, x, train=False, lengths=lengths)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=0, atol=2e-5)
+
+    # training mode must take the reference path (BN stats update)
+    out, mut = st_mod.apply(v, x, train=True,
+                            rngs={'dropout': jax.random.PRNGKey(1)},
+                            mutable=['batch_stats'])
+    assert 'batch_stats' in mut
