@@ -26,6 +26,15 @@ from forwardtacotron_tpu.text.symbols import phonemes
 
 MAX_R = 20  # static width of the mel projection (reference tacotron.py:105)
 
+# Decoder scan unroll factor (FTT_TACO_UNROLL): the decoder step is dozens
+# of SMALL ops at batch ~32, so per-iteration while-loop overhead rivals the
+# math in forward AND (via remat replay) backward. Swept on v5e at bf16 r=1
+# bs=32 T=840: unroll 1 -> 6.07 steps/s, 8 -> 9.86, 12 -> 10.46 (compile
+# 74 s), 16 -> 10.20 (compile 146 s) — 12 is the sweet spot (+72% over the
+# r3 baseline; f32 r=1 5.63 -> 9.3).
+import os
+DECODER_SCAN_UNROLL = int(os.environ.get('FTT_TACO_UNROLL', '12'))
+
 
 def _uinit(scale):
     init = nn.initializers.uniform(scale=2 * scale)
@@ -321,9 +330,13 @@ class Tacotron(nn.Module):
         # idle waiting on HBM here) for that traffic. prevent_cse is safe
         # off inside scan (jax.checkpoint docs).
         body_fn = nn.remat(body, prevent_cse=False) if train else body
+        # unroll: the decoder step is dozens of SMALL ops (3 RNN cells, the
+        # LSA conv/softmax, several Denses) at batch ~32 — per-iteration
+        # while-loop overhead rivals the math, in forward AND (via remat
+        # replay) backward. Unrolling trades compile time for that overhead.
         scan = nn.scan(body_fn, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True},
-                       in_axes=0, out_axes=0)
+                       in_axes=0, out_axes=0, unroll=DECODER_SCAN_UNROLL)
         _, (dec_steps, attn) = scan(self.decoder, carry0,
                                     (prenet_outs, zo_keys))
 
@@ -396,7 +409,8 @@ class Tacotron(nn.Module):
 
         chunk_scan = nn.scan(step, variable_broadcast='params',
                              split_rngs={'params': False, 'dropout': False},
-                             in_axes=0, out_axes=0)
+                             in_axes=0, out_axes=0,
+                             unroll=min(DECODER_SCAN_UNROLL, chunk))
 
         def cond_fn(mdl, state):
             carry, _, _, i = state

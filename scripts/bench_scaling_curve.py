@@ -1,0 +1,159 @@
+"""Virtual-mesh data-parallel scaling curve (SURVEY §2.7 / VERDICT r3 #9).
+
+Real multi-host hardware is unavailable here (one pooled TPU chip), so this
+is the strongest proxy the environment allows: a ForwardTrainer step on
+1/2/4/8 virtual CPU devices (``--xla_force_host_platform_device_count=8``),
+weak-scaled (fixed per-device batch), with gradient parity asserted at
+every mesh size against the 1-device run of the same fixed global batch.
+
+Caveat printed with the results: virtual devices share the same host cores,
+so the curve measures the sharding/collective MECHANICS (no lost work, no
+divergence, overhead of the all-reduce path), not real-chip scaling — on
+real TPUs the per-device work runs on separate chips and the all-reduce
+rides ICI.
+
+Writes scripts/results/scaling_curve.json and prints a table.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+PER_DEVICE_BATCH = 8
+N_TOKENS = 16
+N_FRAMES = 48
+N_STEPS = 6
+
+
+def make_batch(b, n_mels, seed=0):
+    import numpy as np
+
+    from forwardtacotron_tpu.data.dataset import PAD_VALUE
+    rs = np.random.RandomState(seed)
+    n, t = N_TOKENS, N_FRAMES
+    return {
+        'x': rs.randint(1, 100, (b, n)).astype(np.int64),
+        'dur': np.full((b, n), 3.0, np.float32),
+        'x_len': np.full((b,), n, np.int64),
+        'mel_len': np.full((b,), t, np.int64),
+        'pitch': rs.randn(b, n).astype(np.float32),
+        'energy': rs.rand(b, n).astype(np.float32),
+        'pitch_target': rs.randn(b, n).astype(np.float32),
+        'energy_target': rs.rand(b, n).astype(np.float32),
+        'mel': np.full((b, t, n_mels), PAD_VALUE, np.float32)
+        + rs.randn(b, t, n_mels).astype(np.float32),
+    }
+
+
+def setup(mesh):
+    import jax
+
+    from forwardtacotron_tpu.dsp.dsp import DSP
+    from forwardtacotron_tpu.models.registry import init_tts_model
+    from forwardtacotron_tpu.parallel.mesh import replicate_tree
+    from forwardtacotron_tpu.train.forward_trainer import ForwardTrainer
+    from forwardtacotron_tpu.train.state import create_train_state
+    from forwardtacotron_tpu.utils.files import read_config
+    from forwardtacotron_tpu.utils.paths import Paths
+
+    config = read_config(str(REPO / 'tests/resources/test_config.yaml'))
+    tmp = tempfile.mkdtemp(prefix='ftt_scale_')
+    config['data_path'] = f'{tmp}/data'
+    config['checkpoint_path'] = f'{tmp}/ckpt'
+    paths = Paths.from_config(config)
+    model = init_tts_model(config)
+    n_mels = config['dsp']['num_mels']
+
+    init_batch = make_batch(2, n_mels)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           init_batch, train=False)
+    variables = jax.device_get(variables)
+    trainer = ForwardTrainer(paths, DSP.from_config(config), config,
+                             mesh=mesh)
+    state = create_train_state(variables, trainer.tx)
+    state = replicate_tree(jax.device_get(state), mesh)
+    return trainer._get_train_step(model), state, n_mels
+
+
+def main():
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import numpy as np
+
+    from forwardtacotron_tpu.parallel.mesh import make_mesh, shard_batch
+    assert jax.default_backend() == 'cpu', jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()
+
+    results = []
+    parity_loss = None
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n_data=n)
+        step_fn, state, n_mels = setup(mesh)
+
+        # gradient parity: FIXED global batch 8 on every mesh size — the
+        # loss and post-step params must not depend on the sharding
+        fixed = shard_batch(make_batch(8, n_mels, seed=0), mesh)
+        st1, metrics = step_fn(state, fixed, jax.random.PRNGKey(0))
+        loss = float(metrics['loss'])
+        if parity_loss is None:
+            parity_loss = loss
+        else:
+            assert abs(loss - parity_loss) < 1e-5 * abs(parity_loss), \
+                f'n={n}: loss {loss} != 1-device {parity_loss}'
+
+        # throughput: weak scaling, PER_DEVICE_BATCH per device.
+        # (the train step donates its state; the parity step above consumed
+        # `state`, so chain from its result)
+        batch = shard_batch(make_batch(PER_DEVICE_BATCH * n, n_mels,
+                                       seed=1), mesh)
+        st = st1
+        st, m = step_fn(st, batch, jax.random.PRNGKey(0))
+        jax.block_until_ready(m['loss'])
+        t0 = time.time()
+        for i in range(N_STEPS):
+            st, m = step_fn(st, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(m['loss'])
+        dt = time.time() - t0
+        steps_s = N_STEPS / dt
+        samples_s = steps_s * PER_DEVICE_BATCH * n
+        results.append({'n_devices': n, 'steps_per_s': steps_s,
+                        'samples_per_s': samples_s,
+                        'global_batch': PER_DEVICE_BATCH * n,
+                        'parity_loss': loss})
+
+    base = results[0]['samples_per_s']
+    print(f'{"devices":>8s} {"global_bs":>9s} {"steps/s":>8s} '
+          f'{"samples/s":>10s} {"weak-scale eff":>14s}')
+    for r in results:
+        r['weak_scaling_efficiency'] = \
+            r['samples_per_s'] / (base * r['n_devices'])
+        print(f'{r["n_devices"]:8d} {r["global_batch"]:9d} '
+              f'{r["steps_per_s"]:8.2f} {r["samples_per_s"]:10.1f} '
+              f'{r["weak_scaling_efficiency"]:13.1%}')
+    print('grad parity: loss identical across mesh sizes at fixed global '
+          f'batch ({parity_loss:.6f})')
+    print('NOTE: virtual CPU devices share host cores — this validates '
+          'sharding/collective mechanics, not real-chip scaling.')
+
+    out = REPO / 'scripts' / 'results' / 'scaling_curve.json'
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps({'per_device_batch': PER_DEVICE_BATCH,
+                               'results': results}, indent=2))
+    print(f'wrote {out}')
+
+
+if __name__ == '__main__':
+    main()

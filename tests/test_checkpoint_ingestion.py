@@ -4,6 +4,7 @@ synthesize and compare against the torch model (the forward_step90k.pt
 workflow, end to end)."""
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -155,3 +156,76 @@ def test_verify_reference_checkpoint_gate(tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-1000:]
     assert 'GATE PASSED' in r.stdout
+
+
+@pytest.mark.slow
+def test_gate_covers_all_families_and_vocoders(tmp_path):
+    """The widened gate (VERDICT r3 item 8) dispatches on checkpoint
+    content: teacher, both multispeaker students, and the two vocoder
+    loaders are all verified from synthetic reference-format files in ONE
+    gate invocation."""
+    import importlib.util
+    import json
+    import os
+    import subprocess
+
+    import numpy as np
+    import torch
+    from models.multi_fast_pitch import MultiFastPitch as TorchMFP
+    from models.multi_forward_tacotron import \
+        MultiForwardTacotron as TorchMFT
+    from models.tacotron import Tacotron as TorchTaco
+
+    from forwardtacotron_tpu.utils.files import read_config
+
+    torch.manual_seed(7)
+    cfg = read_config(str(REFERENCE_ROOT / 'configs/singlespeaker.yaml'))
+    mcfg = read_config(str(REFERENCE_ROOT / 'configs/multispeaker.yaml'))
+
+    taco = TorchTaco.from_config(cfg).eval()
+    torch.save({'model': taco.state_dict(), 'config': cfg},
+               str(tmp_path / 'taco_step10k.pt'))
+
+    dims = mcfg['multi_forward_tacotron']['model']['speaker_emb_dims']
+    emb = {'spk0': np.random.RandomState(0).randn(dims).astype(np.float32)}
+    mft = TorchMFT.from_config(mcfg).eval()
+    torch.save({'model': mft.state_dict(), 'config': mcfg,
+                'speaker_embeddings': emb},
+               str(tmp_path / 'multi_forward_latest.pt'))
+    mcfg2 = dict(mcfg)
+    mcfg2['tts_model'] = 'multi_fast_pitch'
+    mfp = TorchMFP.from_config(mcfg2).eval()
+    torch.save({'model': mfp.state_dict(), 'config': mcfg2,
+                'speaker_embeddings': emb},
+               str(tmp_path / 'multi_fastpitch_latest.pt'))
+
+    spec = importlib.util.spec_from_file_location(
+        '_vo', str(Path(__file__).parent / 'test_vocoder.py'))
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+    hcfg = dict(upsample_initial_channel=64, resblock_kernel_sizes=[3],
+                resblock_dilation_sizes=[[1, 3, 5]])
+    hg = vo.TorchHiFiGAN(
+        **{k: tuple(tuple(i) if isinstance(i, list) else i for i in v)
+           if isinstance(v, list) else v for k, v in hcfg.items()}).eval()
+    torch.save({'generator': hg.state_dict()},
+               str(tmp_path / 'hifigan_g.pt'))
+    (tmp_path / 'config.json').write_text(json.dumps(hcfg))
+    mg = vo.TorchMelGAN().eval()
+    torch.save({'model_g': mg.state_dict()},
+               str(tmp_path / 'melgan_nvidia.pt'))
+
+    env = dict(os.environ)
+    env.pop('PYTHONPATH', None)
+    names = ['taco_step10k.pt', 'multi_forward_latest.pt',
+             'multi_fastpitch_latest.pt', 'hifigan_g.pt',
+             'melgan_nvidia.pt']
+    r = subprocess.run(
+        [sys.executable, 'scripts/verify_reference_checkpoint.py']
+        + [str(tmp_path / n) for n in names],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-1500:]
+    assert 'GATE PASSED' in r.stdout
+    assert r.stdout.count('[PASS]') >= 8  # 2 students x3 + teacher + 2 voc
+    assert '(teacher)' in r.stdout
+    assert '(hifigan)' in r.stdout and '(melgan)' in r.stdout
