@@ -91,24 +91,53 @@ class TransposedConv1d(nn.Module):
         return y + bias.astype(self.dtype)
 
     def _polyphase(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-        k, s, in_ch = self.kernel_size, self.stride, x.shape[-1]
-        pad = k - 1 - self.padding
-        # output sample t = q*s + r reads x[q + d_r + m] * kernel[j0_r + m*s]
-        j0s = [(pad - r) % s for r in range(s)]
-        ns = [-(-(k - j0) // s) for j0 in j0s]
-        ds = [(r + j0 - pad) // s for r, j0 in zip(range(s), j0s)]
-        dmin = min(ds)
-        dmax = max(d + n - 1 for d, n in zip(ds, ns))
-        taps = dmax - dmin + 1
-        comb = jnp.zeros((taps, in_ch, s, self.features), kernel.dtype)
-        for r in range(s):
-            lo = ds[r] - dmin
-            comb = comb.at[lo:lo + ns[r], :, r, :].set(kernel[j0s[r]::s])
-        comb = comb.reshape(taps, in_ch, s * self.features)
+        comb, dmin, dmax = polyphase_comb(kernel, self.kernel_size,
+                                          self.stride, self.padding)
         y = jax.lax.conv_general_dilated(
             x, comb, window_strides=(1,), padding=[(-dmin, dmax)],
             dimension_numbers=('NWC', 'WIO', 'NWC'))
-        return y.reshape(x.shape[0], x.shape[1] * s, self.features)
+        return y.reshape(x.shape[0], x.shape[1] * self.stride, self.features)
+
+
+def polyphase_comb(kernel: jnp.ndarray, k: int, s: int, padding: int):
+    """Polyphase (pixel-shuffle) kernel for a ``ConvTranspose1d(k, s, p)``
+    with the exact-upsampler geometry ``k - s == 2p``: a stride-1 conv
+    kernel [taps, C_in, s*F] whose s*F outputs at step q are the s output
+    phases y[q*s + r] (phase-major channel order), plus the (dmin, dmax)
+    tap-offset range. Shared by the channels-last conv path and the
+    channels-major GEMM path."""
+    taps_k, in_ch, features = kernel.shape
+    assert taps_k == k
+    pad = k - 1 - padding
+    # output sample t = q*s + r reads x[q + d_r + m] * kernel[j0_r + m*s]
+    j0s = [(pad - r) % s for r in range(s)]
+    ns = [-(-(k - j0) // s) for j0 in j0s]
+    ds = [(r + j0 - pad) // s for r, j0 in zip(range(s), j0s)]
+    dmin = min(ds)
+    dmax = max(d + n - 1 for d, n in zip(ds, ns))
+    taps = dmax - dmin + 1
+    comb = jnp.zeros((taps, in_ch, s, features), kernel.dtype)
+    for r in range(s):
+        lo = ds[r] - dmin
+        comb = comb.at[lo:lo + ns[r], :, r, :].set(kernel[j0s[r]::s])
+    return comb.reshape(taps, in_ch, s * features), dmin, dmax
+
+
+def _shift_cm(x: jnp.ndarray, delta: int) -> jnp.ndarray:
+    """[B, C, T] -> same shape, out[..., t] = x[..., t + delta], zeros
+    outside (torch conv zero-boundary semantics)."""
+    t = x.shape[-1]
+    if delta == 0:
+        return x
+    if delta > 0:
+        return jnp.pad(x[:, :, delta:], ((0, 0), (0, 0), (0, delta)))
+    return jnp.pad(x[:, :, :t + delta], ((0, 0), (0, 0), (-delta, 0)))
+
+
+def _im2col_cm(x: jnp.ndarray, shifts) -> jnp.ndarray:
+    """[B, C, T] -> [B, len(shifts)*C, T], rows j-major (the layout
+    pack_conv_weight's [C_out, k*C_in] expects as GEMM K dim)."""
+    return jnp.concatenate([_shift_cm(x, d) for d in shifts], axis=1)
 
 
 class _Conv(nn.Module):
@@ -202,6 +231,20 @@ class HiFiGANGenerator(nn.Module):
     # would need the whole low-channel tail (upsamplers + conv_post)
     # channels-major — future work, the kernel and its parity tests stay.
     fuse_mrf_max_ch: int = 0
+    # Channels-major TAIL: once a level's channel count drops to <= this,
+    # transpose ONCE to [B, C, T] and keep every remaining op channels-major
+    # (polyphase upsampler as a phase-stacked GEMM, the fused MRF Pallas
+    # kernel in its native layout). Built as the fix the r3 measurements
+    # called for (in-layout MRF beat XLA at C<=64 but per-level transposes
+    # ate the win) and MEASURED END-TO-END on v5e (batch 64 x 512 frames,
+    # bf16, v1 config): 255 ms vs 208 ms for the reference op order — the
+    # channels-major upsampler GEMM (14.4 vs 11.6 ms/level incl.
+    # transposes) and the in-situ MRF kernels do NOT reproduce their
+    # isolated wins at these shapes, so the tail ships OFF. (A
+    # channels-major conv_post was 27.6 vs 6.6 ms and already reverted;
+    # the remaining idea — the upsampler computed inside the MRF kernel's
+    # input stage — is future work.) 0 disables (reference op order).
+    fuse_tail_max_ch: int = 0
 
     @property
     def hop_length(self) -> int:
@@ -243,9 +286,10 @@ class HiFiGANGenerator(nn.Module):
         import jax
         return jax.default_backend() == 'tpu'
 
-    def _mrf_fused(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+    def _mrf_fused_cm(self, x_cm: jnp.ndarray, level: int) -> jnp.ndarray:
         """The level's 3 ResBlock1 branches + average as one Pallas kernel
-        (numerically equal to the per-conv path to f32 rounding)."""
+        on channels-major [B, C, T] (numerically equal to the per-conv path
+        to f32 rounding)."""
         from forwardtacotron_tpu.ops.pallas.mrf import (mrf_pallas,
                                                         pack_conv_weight)
         num_kernels = len(self.resblock_kernel_sizes)
@@ -256,20 +300,84 @@ class HiFiGANGenerator(nn.Module):
             p2 = [m.variables['params']['conv'] for m in rb.convs2]
             for ps in (p1, p2):
                 weights.append(jnp.stack(
-                    [pack_conv_weight(q['kernel']).astype(x.dtype)
+                    [pack_conv_weight(q['kernel']).astype(x_cm.dtype)
                      for q in ps]))
                 weights.append(jnp.stack(
-                    [q['bias'].astype(x.dtype) for q in ps])[:, :, None])
-        out = mrf_pallas(jnp.swapaxes(x, 1, 2), tuple(weights),
-                         tuple(self.resblock_kernel_sizes),
-                         tuple(self.resblock_dilation_sizes[0]),
-                         im2col=True)
-        return jnp.swapaxes(out, 1, 2)
+                    [q['bias'].astype(x_cm.dtype) for q in ps])[:, :, None])
+        return mrf_pallas(x_cm, tuple(weights),
+                          tuple(self.resblock_kernel_sizes),
+                          tuple(self.resblock_dilation_sizes[0]),
+                          im2col=True)
+
+    def _mrf_fused(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        return jnp.swapaxes(
+            self._mrf_fused_cm(jnp.swapaxes(x, 1, 2), level), 1, 2)
+
+    def _tail_fusable(self, ch_out: int, level: int) -> bool:
+        """True when this level and everything after it can run in the
+        channels-major tail (see __call__)."""
+        if self.fuse_tail_max_ch <= 0 or ch_out > self.fuse_tail_max_ch:
+            return False
+        if self.resblock != '1' or self.is_initializing():
+            return False
+        dils = self.resblock_dilation_sizes
+        if any(tuple(d) != tuple(dils[0]) for d in dils):
+            return False
+        from forwardtacotron_tpu.ops.pallas.mrf import HALO
+        kr = max(self.resblock_kernel_sizes)
+        span = sum(kr // 2 * d + kr // 2 for d in dils[0])
+        if span > HALO:
+            return False
+        # every remaining upsampler must have polyphase geometry
+        for j in range(level, len(self.upsample_rates)):
+            k, s = self.upsample_kernel_sizes[j], self.upsample_rates[j]
+            if not (s > 1 and k - s == 2 * ((k - s) // 2)):
+                return False
+        import jax
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        return jax.default_backend() == 'tpu' or interpret_forced()
+
+    def _up_cm(self, x_cm: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Channels-major polyphase upsampler: the s output phases run as
+        ONE [s*F, taps*C_in] GEMM against a channels-major im2col, then a
+        lane interleave — no [B, T, C] layout round-trip."""
+        up = self.ups[level]
+        p = up.variables['params']
+        kernel = p['kernel'].astype(x_cm.dtype)
+        bias = p['bias'].astype(x_cm.dtype)
+        k = self.upsample_kernel_sizes[level]
+        s = self.upsample_rates[level]
+        comb, dmin, dmax = polyphase_comb(kernel, k, s, (k - s) // 2)
+        from forwardtacotron_tpu.ops.pallas.mrf import pack_conv_weight
+        w = pack_conv_weight(comb)                      # [s*F, taps*C_in]
+        e = _im2col_cm(x_cm, [j + dmin for j in range(comb.shape[0])])
+        y = jnp.einsum('ok,bkt->bot', w, e)             # [B, s*F, T]
+        b_, _, t = x_cm.shape
+        f = w.shape[0] // s
+        # row r*F + f holds phase r: interleave phases along time
+        y = y.reshape(b_, s, f, t).transpose(0, 2, 3, 1).reshape(b_, f,
+                                                                 t * s)
+        return y + bias[None, :, None]
+
 
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         num_kernels = len(self.resblock_kernel_sizes)
         x = self.conv_pre(mel.astype(self.dtype))
+        cm = False            # channels-major tail active
+        ch = self.upsample_initial_channel
         for i, up in enumerate(self.ups):
+            ch //= 2
+            if not cm and self._tail_fusable(ch, i):
+                # one transpose into [B, C, T]; every op after this stays
+                # channels-major (upsampler GEMM, fused MRF kernel,
+                # conv_post), eliminating the per-level layout round-trips
+                # that previously ate the in-layout MRF kernel's win
+                x = jnp.swapaxes(x, 1, 2)
+                cm = True
+            if cm:
+                x = self._up_cm(jnp.maximum(x, 0.1 * x), i)
+                x = self._mrf_fused_cm(x, i)
+                continue
             x = up(nn.leaky_relu(x, 0.1))
             if self._mrf_fusable(x.shape[-1]):
                 x = self._mrf_fused(x, i)
@@ -278,6 +386,11 @@ class HiFiGANGenerator(nn.Module):
                 for j in range(1, num_kernels):
                     xs = xs + self.resblocks[i * num_kernels + j](x)
                 x = xs / num_kernels
+        if cm:
+            # conv_post stays channels-last: measured 6.6 ms (one
+            # transpose + XLA conv) vs 27.6 ms for a channels-major GEMM
+            # with a 7x im2col materialization
+            x = jnp.swapaxes(x, 1, 2)
         x = nn.leaky_relu(x, 0.01)
         x = jnp.tanh(self.conv_post(x))
         return x[..., 0]

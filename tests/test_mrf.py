@@ -57,6 +57,38 @@ def test_mrf_kernel_multi_tile_and_edges():
                                np.asarray(ref), rtol=0, atol=2e-5)
 
 
+def test_generator_channels_major_tail_matches_unfused(monkeypatch):
+    """Full generator with the channels-major tail forced on (interpret on
+    CPU via FTT_PALLAS_INTERPRET) vs the reference op order: polyphase
+    upsampler GEMM + in-layout fused MRF + channels-major conv_post."""
+    monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
+    cfg = dict(upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+               upsample_initial_channel=64, num_mels=8)
+    gen_tail = HiFiGANGenerator(fuse_tail_max_ch=32, **cfg)
+    gen_plain = HiFiGANGenerator(fuse_tail_max_ch=0, **cfg)
+    rs = np.random.RandomState(5)
+    mel = jnp.asarray(rs.randn(2, 33, 8).astype(np.float32))
+    variables = gen_plain.init(jax.random.PRNGKey(0), mel)
+
+    calls = []
+    orig = HiFiGANGenerator._up_cm
+
+    def spy(self, x, level):
+        calls.append(level)
+        return orig(self, x, level)
+
+    monkeypatch.setattr(HiFiGANGenerator, '_up_cm', spy)
+    ref = gen_plain.apply(variables, mel)
+    assert calls == []
+    got = gen_tail.apply(variables, mel)
+    # channels: 64 -> 32, 16, 8; threshold 32 -> levels 0..2? ch after
+    # level0 = 32 <= 32, so the tail covers all three levels
+    assert calls == [0, 1, 2]
+    assert got.shape == ref.shape == (2, 33 * 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-5)
+
+
 def test_generator_fused_path_matches_unfused(monkeypatch):
     """Full HiFiGANGenerator with the fused MRF forced on (interpret on
     CPU) vs fuse_mrf_max_ch=0. gen_fused must carry a nonzero threshold —
