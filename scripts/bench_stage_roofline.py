@@ -106,8 +106,8 @@ def main():
     sbytes = forward_tacotron_stage_bytes(mcfg, BATCH, N_TOKENS, MAX_LEN,
                                           n_mels)
 
-    stages = set(sys.argv[1:]) or {'series', 'prenet', 'peproj', 'lr',
-                                   'lstm', 'lin', 'post', 'proj'}
+    stages = set(sys.argv[1:]) or {'series', 'prenet', 'peproj', 'trunk',
+                                   'post', 'proj'}
     rs = np.random.RandomState(0)
     chain2 = jax.jit(lambda x0, y: x0 + (y.ravel()[0] * 0).astype(x0.dtype))
     rows = []
@@ -228,6 +228,32 @@ def main():
                      np.zeros((1, 2 * mcfg['postnet_dims']), np.float32)))
         fn = jax.jit(lambda hh: lin.apply(lvv, hh))
         record('post_proj', chained_ms(fn, chain2, h))
+
+    if 'trunk' in stages:
+        # fused serving trunk (r4): LR + bi-LSTM + mel projection as two
+        # Pallas kernels — replaces the length_regulator + frame_bilstm +
+        # mel_linear rows of the table on the serving path
+        from forwardtacotron_tpu.ops.pallas.rnn import lstm_lr_mel_pallas
+        hdim = mcfg['rnn_dims']
+        tok_h = jnp.asarray(rs.randn(BATCH, N_TOKENS, 2 * p), jnp.bfloat16)
+        dur = jnp.asarray(
+            rs.uniform(1.0, 4.0, (BATCH, N_TOKENS)), jnp.float32)
+
+        def u16(*shape):
+            return jnp.asarray(rs.uniform(-0.04, 0.04, shape),
+                               jnp.bfloat16)
+        fwdp = (u16(2 * p, 4 * hdim), u16(hdim, 4 * hdim),
+                u16(4 * hdim), u16(4 * hdim))
+        bwdp = (u16(2 * p, 4 * hdim), u16(hdim, 4 * hdim),
+                u16(4 * hdim), u16(4 * hdim))
+        wm, bm = u16(2 * hdim, n_mels), u16(n_mels)
+        fn = jax.jit(lambda hh: lstm_lr_mel_pallas(
+            hh, dur, fwdp, bwdp, hdim, wm, bm, MAX_LEN))
+        sflops['fused_trunk'] = (sflops['frame_bilstm']
+                                 + sflops['mel_linear'])
+        sbytes['fused_trunk'] = (sbytes['length_regulator']
+                                 + sbytes['mel_linear'])
+        record('fused_trunk', chained_ms(fn, chain2, tok_h))
 
     with OUT.open('a') as f:
         for row in rows:
