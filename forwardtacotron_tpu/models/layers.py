@@ -388,6 +388,15 @@ class CBHG(nn.Module):
     # this ships OFF; kept for small-batch regimes where the [B, T, K*C]
     # materialization dominates instead.
     stream_pool_proj: bool = False
+    # inference: maxpool + tail-zero + proj1-conv as ONE Pallas kernel on
+    # the VMEM-resident bank concat (ops/pallas/cbhg.py) — the concat read
+    # once instead of pool-read/write + conv-im2col-read. MEASURED on v5e
+    # at serving shapes (batch 4096, bf16): postnet 93.8 vs 88.8 ms, prenet
+    # 78.3 vs 68.8 — the 2 MB VMEM blocks cap per-program GEMM size below
+    # what XLA's global schedule achieves, so this ships OFF like the other
+    # CBHG fusion attempts (bank, streamed, highway). Exact to f32 rounding,
+    # parity-tested.
+    fuse_pool_proj: bool = False
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -479,6 +488,43 @@ class CBHG(nn.Module):
         y = (y - mean) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
         return y.astype(dt)
 
+    def _pool_proj_fusable(self, t: int, dtype) -> bool:
+        """Inference + TPU + whole-T-block-sized sequences: the fused
+        maxpool+proj1 Pallas kernel (ops/pallas/cbhg.py) applies."""
+        if not self.fuse_pool_proj or self.is_initializing():
+            return False
+        from forwardtacotron_tpu.ops.pallas.cbhg import MAX_T
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        kc = self.K * self.channels
+        if t > MAX_T or kc % 128 != 0:
+            return False
+        if t * kc * jnp.dtype(dtype).itemsize > 4 * 2 ** 20:
+            return False
+        import jax
+        return jax.default_backend() == 'tpu' or interpret_forced()
+
+    def _pool_proj1_fused(self, xc: jnp.ndarray,
+                          tail: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """maxpool -> tail-zero -> proj1 conv as ONE Pallas kernel on the
+        VMEM-resident bank concat (the dropouts around them are identity at
+        inference), then proj1's ReLU + BatchNorm eval affine."""
+        from forwardtacotron_tpu.ops.pallas.cbhg import pool_proj1_pallas
+        b, t, _ = xc.shape
+        if tail is None:
+            mask = jnp.ones((b, t), xc.dtype)
+        else:
+            mask = 1.0 - tail[:, :, 0].astype(xc.dtype)
+        w = self.conv_project1.variables['params']['conv']['kernel']
+        y = pool_proj1_pallas(xc, mask, w)
+        y = jax.nn.relu(y.astype(jnp.float32))
+        v1 = self.conv_project1.variables
+        mean = v1['batch_stats']['bnorm']['mean'].astype(jnp.float32)
+        var = v1['batch_stats']['bnorm']['var'].astype(jnp.float32)
+        scale = v1['params']['bnorm']['scale'].astype(jnp.float32)
+        bias = v1['params']['bnorm']['bias'].astype(jnp.float32)
+        y = (y - mean) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
+        return y.astype(xc.dtype)
+
     def pre_rnn(self, x: jnp.ndarray, train: bool = False,
                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Everything before the bidirectional GRU; see ``__call__`` for the
@@ -493,6 +539,10 @@ class CBHG(nn.Module):
 
         if self.stream_pool_proj and not train and not self.is_initializing():
             x = self._bank_pool_proj1_streamed(x, t, tail)
+        elif not train and self._pool_proj_fusable(t, x.dtype):
+            bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
+            x = jnp.concatenate(bank, axis=-1)
+            x = self._pool_proj1_fused(x, tail)
         else:
             if self.fuse_bank and not train and not self.is_initializing():
                 x = self._bank_fused(x)

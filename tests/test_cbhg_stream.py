@@ -38,3 +38,48 @@ def test_streamed_pool_proj_matches_reference_order():
                             rngs={'dropout': jax.random.PRNGKey(1)},
                             mutable=['batch_stats'])
     assert 'batch_stats' in mut
+
+
+def test_fused_pool_proj_matches_reference_order(monkeypatch):
+    """The fused maxpool+proj1 Pallas kernel (ops/pallas/cbhg.py, default
+    on for inference on TPU; forced via FTT_PALLAS_INTERPRET here) matches
+    the XLA op order, with and without exact-length masking."""
+    monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
+    import forwardtacotron_tpu.models.layers as L
+
+    def mk(fused):
+        return CBHG(K=4, channels=32, proj_channels=[32, 16],
+                    num_highways=2, dropout=0.0, fuse_pool_proj=fused)
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(3, 23, 16).astype(np.float32))
+    ref_mod, f_mod = mk(False), mk(True)
+    v = ref_mod.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+
+    calls = []
+    orig = CBHG._pool_proj1_fused
+
+    def spy(self, xc, tail):
+        calls.append(1)
+        return orig(self, xc, tail)
+    monkeypatch.setattr(CBHG, '_pool_proj1_fused', spy)
+
+    want = ref_mod.apply(v, x, train=False)
+    assert calls == []
+    got = f_mod.apply(v, x, train=False)
+    assert calls, 'fused pool+proj kernel not dispatched'
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+    lengths = jnp.array([23, 11, 5])
+    want_l = ref_mod.apply(v, x, train=False, lengths=lengths)
+    got_l = f_mod.apply(v, x, train=False, lengths=lengths)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=0, atol=2e-5)
+
+    # training takes the reference path (BN stats update, dropout live)
+    calls.clear()
+    out, mut = f_mod.apply(v, x, train=True,
+                           rngs={'dropout': jax.random.PRNGKey(1)},
+                           mutable=['batch_stats'])
+    assert calls == [] and 'batch_stats' in mut
