@@ -498,7 +498,10 @@ class CBHG(nn.Module):
         kc = self.K * self.channels
         if t > MAX_T or kc % 128 != 0:
             return False
-        if t * kc * jnp.dtype(dtype).itemsize > 4 * 2 ** 20:
+        # must match pool_proj1_pallas's 2 MB per-block VMEM budget: even at
+        # batch-tile 1 a bigger block would exceed the kernel's scoped limit
+        # once the in-kernel f32 pool temporary is counted
+        if t * kc * jnp.dtype(dtype).itemsize > 2 * 2 ** 20:
             return False
         import jax
         return jax.default_backend() == 'tpu' or interpret_forced()

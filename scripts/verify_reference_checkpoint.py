@@ -84,12 +84,14 @@ def find_checkpoints():
 
 def classify(path: Path) -> str:
     """Dispatch on checkpoint content: 'student' | 'teacher' | 'hifigan' |
-    'melgan' | 'unknown'."""
+    'melgan' | 'load-error' | 'unknown'. 'load-error' means the file could
+    not be torch.load-ed at all (corrupt/truncated) — distinct from a
+    readable-but-unrecognized format so the gate can fail loudly on it."""
     import torch
     try:
         ckpt = torch.load(str(path), map_location='cpu', weights_only=False)
     except Exception:
-        return 'unknown'
+        return 'load-error'
     if not isinstance(ckpt, dict):
         return 'unknown'
     if 'model_g' in ckpt:
@@ -339,6 +341,12 @@ def verify_any(path: Path) -> bool:
         return verify_teacher(path)
     if kind in ('hifigan', 'melgan'):
         return verify_vocoder(path, kind)
+    if kind == 'load-error':
+        # A corrupt/truncated .pt must fail the gate, not silently pass —
+        # especially a partial copy of one of the PUBLISHED files.
+        print(f'== {path}: torch.load failed (corrupt or truncated '
+              'checkpoint) — gate failure')
+        return False
     print(f'== {path}: unrecognized checkpoint format (skipping)')
     return True
 
@@ -356,12 +364,17 @@ def watch(interval: float) -> int:
                 continue
             if seen.get(p) == mtime:
                 continue
-            # wait until the file stops growing (partial copy guard)
-            size = -1
-            while size != p.stat().st_size:
-                size = p.stat().st_size
-                time.sleep(1.0)
-            seen[p] = p.stat().st_mtime
+            # wait until the file stops growing (partial copy guard);
+            # the file may vanish mid-copy (delete/rename) — skip, it
+            # will be picked up again when it reappears
+            try:
+                size = -1
+                while size != p.stat().st_size:
+                    size = p.stat().st_size
+                    time.sleep(1.0)
+                seen[p] = p.stat().st_mtime
+            except OSError:
+                continue
             try:
                 ok = verify_any(p)
             except Exception as e:

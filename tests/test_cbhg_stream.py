@@ -41,9 +41,11 @@ def test_streamed_pool_proj_matches_reference_order():
 
 
 def test_fused_pool_proj_matches_reference_order(monkeypatch):
-    """The fused maxpool+proj1 Pallas kernel (ops/pallas/cbhg.py, default
-    on for inference on TPU; forced via FTT_PALLAS_INTERPRET here) matches
-    the XLA op order, with and without exact-length masking."""
+    """The fused maxpool+proj1 Pallas kernel (ops/pallas/cbhg.py) matches
+    the XLA op order, with and without exact-length masking. The kernel
+    ships OFF by default (measured regression vs XLA at serving shapes —
+    see its docstring); this test forces it on via fuse_pool_proj=True
+    under FTT_PALLAS_INTERPRET."""
     monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
     import forwardtacotron_tpu.models.layers as L
 
