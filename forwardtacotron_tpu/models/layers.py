@@ -406,6 +406,14 @@ class CBHG(nn.Module):
     # XLA (2.3x, kernel docstring has the variant ladder) — the first CBHG
     # Pallas fusion that WINS, so it ships ON for inference.
     fuse_highways: bool = True
+    # inference: maxpool + tail mask as one Pallas kernel (pool_mask_pallas)
+    # — isolated 18.7 vs 25.7 ms XLA at postnet shapes, but MEASURED
+    # END-TO-END on v5e it LOSES: serving 24.5k vs 29.7k audio-s/s/chip
+    # with it on — in situ XLA fuses the pool+mask into the surrounding
+    # concat/proj chain, and the kernel's sublane-shift relayout plus the
+    # extra dispatch boundary cost more than the isolated win. Ships OFF,
+    # kept with parity tests like the other rejected CBHG fusions.
+    fuse_pool: bool = False
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -563,9 +571,18 @@ class CBHG(nn.Module):
                         for conv in self.conv1d_bank]
                 x = jnp.concatenate(bank, axis=-1)
 
-            x = maxpool_time(x)
-            if tail is not None:
-                x = jnp.where(tail, 0.0, x)
+            if not train and self._pool_kernel_usable():
+                from forwardtacotron_tpu.ops.pallas.cbhg import \
+                    pool_mask_pallas
+                if tail is None:
+                    mask = jnp.ones(x.shape[:2], jnp.float32)
+                else:
+                    mask = 1.0 - tail[:, :, 0].astype(jnp.float32)
+                x = pool_mask_pallas(x, mask)
+            else:
+                x = maxpool_time(x)
+                if tail is not None:
+                    x = jnp.where(tail, 0.0, x)
             x = self.drop(x, deterministic=not train)
 
             x = self.conv_project1(x, train)
@@ -583,6 +600,13 @@ class CBHG(nn.Module):
             for hw in self.highways:
                 x = hw(x)
         return x
+
+    def _pool_kernel_usable(self) -> bool:
+        if not self.fuse_pool or self.is_initializing():
+            return False
+        import jax
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        return jax.default_backend() == 'tpu' or interpret_forced()
 
     def _highways_fusable(self, dtype) -> bool:
         if not self.fuse_highways or self.is_initializing() \

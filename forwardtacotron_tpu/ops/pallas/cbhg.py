@@ -102,3 +102,55 @@ def pool_proj1_pallas(x: jnp.ndarray, mask: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, t, p), x.dtype),
         interpret=interpret or interpret_forced(),
     )(x, mask.astype(jnp.float32)[:, None, :], w.astype(x.dtype))
+
+
+# -------------------------------------------------------- pool-only kernel
+
+def _pool_mask_kernel(x_ref, m_ref, out_ref):
+    bb, t, kc = x_ref.shape
+    a = x_ref[...]
+    mask = jnp.expand_dims(jnp.squeeze(m_ref[...], axis=1), -1).astype(a.dtype)
+    out_ref[:, 1:, :] = jnp.maximum(a[:, 1:, :], a[:, :t - 1, :]) \
+        * mask[:, 1:, :]
+    # first frame: the left pool neighbor is the -inf pad -> identity
+    out_ref[:, 0:1, :] = a[:, 0:1, :] * mask[:, 0:1, :]
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def pool_mask_pallas(x: jnp.ndarray, mask: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """MaxPool1d(2, 1, pad=1)[:T] + tail-zero mask as one kernel.
+
+    x [B, T, KC] bank concat, mask [B, T] (1.0 = valid). The reference op
+    order (common_layers.py:103-105 + the tail zeroing) reads and writes
+    the [B, T, KC] tensor through reduce_window and again through the mask
+    multiply; this reads it once per tile. The mask multiply is exact in
+    bf16 (mask is 0/1).
+
+    Measured on v5e at postnet serving shapes ([2048, 256, 2048] bf16,
+    chained + readback): XLA reduce_window+mask 25.7 ms, this kernel
+    18.7 ms at bb=2 — but BOTH are ~4x off the 5.2 ms bytes floor: the
+    one-sublane shift of the pool is a relayout Mosaic pays for too.
+    END-TO-END the kernel LOSES: serving 24.5k vs 29.7k audio-s/s/chip
+    with it on (in situ XLA fuses pool+mask into the surrounding
+    concat/proj chain; the kernel adds a dispatch boundary). Ships OFF
+    (CBHG.fuse_pool=False), kept with parity tests alongside the other
+    measured-and-rejected CBHG fusions.
+    """
+    from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+    b, t, kc = x.shape
+    bb = 2 if b % 2 == 0 else 1
+    return pl.pallas_call(
+        _pool_mask_kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, t, kc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, t, kc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, kc), x.dtype),
+        interpret=interpret or interpret_forced(),
+    )(x, mask.astype(jnp.float32)[:, None, :])

@@ -85,3 +85,22 @@ def test_fused_pool_proj_matches_reference_order(monkeypatch):
                            rngs={'dropout': jax.random.PRNGKey(1)},
                            mutable=['batch_stats'])
     assert calls == [] and 'batch_stats' in mut
+
+
+def test_pool_mask_kernel_matches_xla(monkeypatch):
+    """pool_mask_pallas (ships OFF — measured end-to-end regression, see
+    its docstring) matches maxpool_time + tail mask exactly."""
+    monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.layers import maxpool_time
+    from forwardtacotron_tpu.ops.pallas.cbhg import pool_mask_pallas
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(4, 16, 256).astype(np.float32))
+    lens = np.asarray([16, 9, 1, 12])
+    mask = (np.arange(16)[None, :] < lens[:, None]).astype(np.float32)
+
+    ref = maxpool_time(x) * jnp.asarray(mask)[:, :, None]
+    got = pool_mask_pallas(x, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
