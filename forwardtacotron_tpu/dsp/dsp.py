@@ -145,12 +145,33 @@ class DSP:
         # configs with a non-dividing hop (e.g. 2048/275) take the rfft
         # formulation instead of asserting at trace time (ADVICE r3).
         if self.n_fft % self.hop_length == 0:
-            wav = griffin_lim_pair(linear, key, self.n_fft, self.hop_length,
-                                   self.win_length, n_iter=n_iter)
+            if self._gl_fused_usable(linear.shape[1]):
+                # fused per-iteration Pallas kernel: one dispatch per GL
+                # iteration, frames VMEM-resident — 2.3x the pair path on
+                # v5e (104 vs 239 ms, GL-32 batch 64 x 10 s) at f32, so it
+                # tracks the pair trajectory (ops/pallas/griffin_lim.py)
+                from forwardtacotron_tpu.ops.pallas.griffin_lim import \
+                    griffin_lim_fused
+                wav = griffin_lim_fused(
+                    linear[None], key[None], self.n_fft, self.hop_length,
+                    self.win_length, n_iter=n_iter)[0]
+            else:
+                wav = griffin_lim_pair(linear, key, self.n_fft,
+                                       self.hop_length, self.win_length,
+                                       n_iter=n_iter)
         else:
             wav = griffin_lim(linear, key, self.n_fft, self.hop_length,
                               self.win_length, n_iter=n_iter)
         return np.asarray(wav)
+
+    def _gl_fused_usable(self, n_frames: int) -> bool:
+        import jax as _jax
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        if n_frames < 2 * (self.n_fft // self.hop_length):
+            return False
+        if (self.n_fft // self.hop_length - 1) > 8:
+            return False
+        return _jax.default_backend() == 'tpu' or interpret_forced()
 
     # ------------------------------------------------------------------- trims
 

@@ -30,11 +30,20 @@ Frequency bins are zero-padded to a lane multiple (513 -> 640 for
 n_fft=1024) ONCE for the whole GL run; the zero-bin invariant survives
 iterations (zero mag -> zero spec) so no per-iteration re-padding.
 
-``compute_dtype=jnp.bfloat16`` runs the two DFT matmuls per iteration in
-bf16 with f32 accumulation (carried spectra stay f32). Round-4 A/B showed
-bf16 DFT matmuls are quality-neutral for GL (identical spectral
-convergence); the f32 option keeps bit-comparable trajectory parity with
-griffin_lim_pair for the parity tests.
+Measured on v5e (GL-32, batch 64 x 10 s, n_fft 1024 hop 256, chained +
+readback):
+
+    pair path (per-dispatch glue)   239 ms   2,677 audio-s/s  7.5 ms/iter
+    fused, lax.fori_loop            178 ms   3,599            5.6
+    fused, unrolled loop            104 ms   6,157            3.25
+
+The fori_loop -> unrolled step matters because Pallas outputs cannot
+alias while-loop carries, so XLA copies all four ~300 MB carries back
+into the loop buffers every iteration; unrolled (n_iter is static) the
+buffers chain freely. ``compute_dtype``: f32 and bf16 measure IDENTICAL
+(the kernel is bytes/VPU-bound, not MXU-bound), so the default is f32,
+which keeps bit-comparable trajectory parity with griffin_lim_pair
+(~1e-6 at small iteration counts on the CPU backend).
 """
 
 from functools import lru_cache, partial
@@ -89,14 +98,19 @@ def _gl_constants(n_fft: int, hop: int, win_length: int):
     return inv_re_w, inv_im_w, fwd_re_p, fwd_im_p, q, win
 
 
-def _edge_frames(spec_re, spec_im, n_fft, hop, win_length, n_frames):
+def _edge_frames(spec_re, spec_im, n_fft, hop, win_length, n_frames,
+                 row0=0):
     """Exact pre-DFT frame values for the first/last R frames, computed
     from the first/last 2R-1 spec rows with the TRUE OLA normalizer and
     reflect padding. Spec inputs are the bin-PADDED [B, F, BP] arrays
-    (the padded matrices have zero rows there). Returns [B, 2R, n_fft]
-    (R head rows then R tail)."""
+    (the padded matrices have zero rows there); ``row0`` is the row index
+    of true frame 0 (the fused wrapper carries one pad block of rows).
+    Returns [B, 2R, n_fft] (R head rows then R tail)."""
     r = n_fft // hop
     k = 2 * r - 1
+    if row0:
+        spec_re = spec_re[:, row0:row0 + n_frames]
+        spec_im = spec_im[:, row0:row0 + n_frames]
     inv_re_w, inv_im_w, _, _, _, win = _gl_constants(n_fft, hop, win_length)
     inv_re_w = jnp.asarray(inv_re_w)
     inv_im_w = jnp.asarray(inv_im_w)
@@ -157,47 +171,47 @@ def _edge_frames(spec_re, spec_im, n_fft, hop, win_length, n_frames):
 
 def _gl_iter_kernel(sre_ref, sim_ref, slo_re_ref, slo_im_ref,
                     shi_re_ref, shi_im_ref, tre_ref, tim_ref, mag_ref,
-                    repl_ref, q_ref, ivr_ref, ivi_ref, fwr_ref, fwi_ref,
+                    repl_ref, q_ref, ivri_ref, fwri_ref,
                     ore_ref, oim_ref, orb_re_ref, orb_im_ref,
-                    *, hop, n_frames, momentum, halo, fb):
+                    s_s, f_s,
+                    *, hop, n_frames, momentum, halo, fb, bp):
     i = pl.program_id(1)
     nblk = pl.num_programs(1)
-    n_fft = ivr_ref.shape[1]
+    n_fft = ivri_ref.shape[1]
     r = n_fft // hop
-    mdt = ivr_ref.dtype
+    pad = (r - 1) * hop
+    mdt = ivri_ref.dtype
 
-    # assemble spec rows [halo + FB + halo, BP] (halo rows masked at ends)
-    lo_ok = (i > 0).astype(jnp.float32)
-    hi_ok = (i < nblk - 1).astype(jnp.float32)
-    sre = jnp.concatenate([slo_re_ref[0, 8 - halo:] * lo_ok,
-                           sre_ref[0],
-                           shi_re_ref[0, :halo] * hi_ok], axis=0)
-    sim = jnp.concatenate([slo_im_ref[0, 8 - halo:] * lo_ok,
-                           sim_ref[0],
-                           shi_im_ref[0, :halo] * hi_ok], axis=0)
+    # assemble spec rows [halo + FB + halo, 2*BP] (re | im lane-packed) in
+    # scratch — Mosaic cannot concatenate offset slices, but ref STORES at
+    # sublane/lane offsets are fine. Edge halos come from the arrays'
+    # never-written pad blocks: SELECT (not multiply) to zero them, since
+    # uninitialized memory may hold NaNs and NaN * 0 = NaN.
+    lo_ok = i > 0
+    hi_ok = i < nblk - 1
+    zh = jnp.zeros((halo, bp), jnp.float32)
+    s_s[0:halo, 0:bp] = jnp.where(lo_ok, slo_re_ref[0, 8 - halo:], zh)
+    s_s[0:halo, bp:] = jnp.where(lo_ok, slo_im_ref[0, 8 - halo:], zh)
+    s_s[halo:halo + fb, 0:bp] = sre_ref[0]
+    s_s[halo:halo + fb, bp:] = sim_ref[0]
+    s_s[halo + fb:, 0:bp] = jnp.where(hi_ok, shi_re_ref[0, :halo], zh)
+    s_s[halo + fb:, bp:] = jnp.where(hi_ok, shi_im_ref[0, :halo], zh)
 
-    # IDFT with synthesis window folded in: windowed frames f
-    f = (jax.lax.dot_general(sre.astype(mdt), ivr_ref[...],
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-         + jax.lax.dot_general(sim.astype(mdt), ivi_ref[...],
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32))
+    # one IDFT GEMM (re and im stacked on the contraction dim), synthesis
+    # window folded in; written into the CENTER columns of a wide scratch
+    # whose side bands stay zero, so every banded-combine term below is a
+    # full-width read at a 128-aligned lane offset (no roll, no mask)
+    f_s[:, 0:pad] = jnp.zeros((fb + 2 * halo, pad), jnp.float32)
+    f_s[:, pad + n_fft:] = jnp.zeros((fb + 2 * halo, pad), jnp.float32)
+    f_s[:, pad:pad + n_fft] = jax.lax.dot_general(
+        s_s[...].astype(mdt), ivri_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     # banded OLA + re-frame: y_i[t] = sum_d f[i-d][t + d*hop]
     y = None
     for d in range(-(r - 1), r):
-        blk = f[halo - d: halo - d + fb]
-        if d > 0:
-            sh = jnp.concatenate(
-                [blk[:, d * hop:],
-                 jnp.zeros((fb, d * hop), jnp.float32)], axis=1)
-        elif d < 0:
-            sh = jnp.concatenate(
-                [jnp.zeros((fb, -d * hop), jnp.float32),
-                 blk[:, :n_fft + d * hop]], axis=1)
-        else:
-            sh = blk
+        sh = f_s[halo - d: halo - d + fb,
+                 pad + d * hop: pad + d * hop + n_fft]
         y = sh if y is None else y + sh
     y = y * q_ref[...]
 
@@ -209,12 +223,12 @@ def _gl_iter_kernel(sre_ref, sim_ref, slo_re_ref, slo_im_ref,
         y = jnp.where(row == n_frames - r + k,
                       repl_ref[0, r + k][None, :], y)
 
-    # DFT back to spectra
-    yc = y.astype(mdt)
-    rb_re = jax.lax.dot_general(yc, fwr_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    rb_im = jax.lax.dot_general(yc, fwi_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    # one DFT GEMM back to spectra (re | im lane-packed output)
+    rb = jax.lax.dot_general(y.astype(mdt), fwri_ref[...],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    rb_re = rb[:, 0:bp]
+    rb_im = rb[:, bp:]
 
     # momentum + phase normalize + re-magnitude
     c = momentum / (1.0 + momentum)
@@ -238,8 +252,8 @@ def griffin_lim_fused(magnitude: jnp.ndarray,
                       win_length: int,
                       n_iter: int = 32,
                       momentum: float = 0.99,
-                      compute_dtype=jnp.bfloat16,
-                      block_frames: int = 256,
+                      compute_dtype=jnp.float32,
+                      block_frames: int = 128,
                       interpret: bool = False) -> jnp.ndarray:
     """Batched Griffin-Lim with the fused per-iteration kernel.
 
@@ -267,67 +281,84 @@ def griffin_lim_fused(magnitude: jnp.ndarray,
     inv_re_w, inv_im_w, fwd_re_p, fwd_im_p, q, _ = _gl_constants(
         n_fft, hop, win_length)
     mdt = jnp.dtype(compute_dtype)
-    ivr = jnp.asarray(inv_re_w, mdt)
-    ivi = jnp.asarray(inv_im_w, mdt)
-    fwr = jnp.asarray(fwd_re_p, mdt)
-    fwi = jnp.asarray(fwd_im_p, mdt)
+    # combined operands: one GEMM each way (re|im stacked on contraction /
+    # lane-packed on output)
+    ivri = jnp.asarray(np.concatenate([inv_re_w, inv_im_w], axis=0), mdt)
+    fwri = jnp.asarray(np.concatenate([fwd_re_p, fwd_im_p], axis=1), mdt)
     qj = jnp.asarray(q)
 
-    # pad mag to [B, F_cap, BP], frames-major
+    # pad mag to [B, fb + F_cap + fb, BP], frames-major. The extra BLOCK of
+    # rows at each end keeps every halo index map affine and in-bounds
+    # (Mosaic's pipelined prefetch requires affine maps — a min/max clamp
+    # in the map was measured to serialize the DMA, 5.1 vs 2.6 ms/iter —
+    # and out-of-range block indices fail at runtime). The pad blocks of
+    # the OUTPUTS are never written; they are also never read (the
+    # in-kernel lo_ok/hi_ok masks zero halo rows read from them).
     mag = jnp.transpose(magnitude, (0, 2, 1)).astype(jnp.float32)
-    mag = jnp.pad(mag, ((0, 0), (0, f_cap - f_true), (0, bp - bins)))
+    mag = jnp.pad(mag, ((0, 0), (fb, f_cap - f_true + fb), (0, bp - bins)))
 
     # same phase init as griffin_lim_pair ([bins, frames] draw order,
     # one key per item)
     phase = 2.0 * jnp.pi * jax.vmap(
         lambda k: jax.random.uniform(k, (bins, f_true)))(key)
     ang_re = jnp.pad(jnp.transpose(jnp.cos(phase), (0, 2, 1)),
-                     ((0, 0), (0, f_cap - f_true), (0, bp - bins)))
+                     ((0, 0), (fb, f_cap - f_true + fb), (0, bp - bins)))
     ang_im = jnp.pad(jnp.transpose(jnp.sin(phase), (0, 2, 1)),
-                     ((0, 0), (0, f_cap - f_true), (0, bp - bins)))
+                     ((0, 0), (fb, f_cap - f_true + fb), (0, bp - bins)))
     spec_re = mag * ang_re
     spec_im = mag * ang_im
 
     nblk = f_cap // fb
     kern = partial(_gl_iter_kernel, hop=hop, n_frames=f_true,
-                   momentum=momentum, halo=halo, fb=fb)
+                   momentum=momentum, halo=halo, fb=fb, bp=bp)
 
-    main = pl.BlockSpec((1, fb, bp), lambda bb, i: (bb, i, 0),
+    # all index maps affine, offset one block for the permanent pad block
+    main = pl.BlockSpec((1, fb, bp), lambda bb, i: (bb, i + 1, 0),
                         memory_space=pltpu.VMEM)
-    lo = pl.BlockSpec(
-        (1, 8, bp),
-        lambda bb, i: (bb, jnp.maximum(i * (fb // 8) - 1, 0), 0),
-        memory_space=pltpu.VMEM)
-    hi = pl.BlockSpec(
-        (1, 8, bp),
-        lambda bb, i: (bb, jnp.minimum((i + 1) * (fb // 8),
-                                       f_cap // 8 - 1), 0),
-        memory_space=pltpu.VMEM)
+    lo = pl.BlockSpec((1, 8, bp),
+                      lambda bb, i: (bb, (i + 1) * (fb // 8) - 1, 0),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((1, 8, bp),
+                      lambda bb, i: (bb, (i + 2) * (fb // 8), 0),
+                      memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     repl_spec = pl.BlockSpec((1, 2 * r, n_fft), lambda bb, i: (bb, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    shape = jax.ShapeDtypeStruct((b, f_cap, bp), jnp.float32)
+    shape = jax.ShapeDtypeStruct((b, fb + f_cap + fb, bp), jnp.float32)
     step = pl.pallas_call(
         kern,
         grid=(b, nblk),
         in_specs=[main, main, lo, lo, hi, hi, main, main, main,
-                  repl_spec, full, full, full, full, full],
+                  repl_spec, full, full, full],
         out_specs=(main, main, main, main),
         out_shape=(shape, shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((fb + 2 * halo, 2 * bp), jnp.float32),
+            pltpu.VMEM((fb + 2 * halo, n_fft + 2 * (r - 1) * hop),
+                       jnp.float32),
+        ],
         interpret=interpret,
     )
 
-    def body(_, carry):
+    def body(carry):
         s_re, s_im, tp_re, tp_im = carry
-        repl = _edge_frames(s_re, s_im, n_fft, hop, win_length, f_true)
+        repl = _edge_frames(s_re, s_im, n_fft, hop, win_length, f_true,
+                            row0=fb)
         return step(s_re, s_im, s_re, s_im, s_re, s_im, tp_re, tp_im,
-                    mag, repl, qj, ivr, ivi, fwr, fwi)
+                    mag, repl, qj, ivri, fwri)
 
+    # Python-unrolled loop (n_iter is static): a lax.fori_loop here forces
+    # XLA to copy all four multi-hundred-MB carries back into the while
+    # buffers every iteration (Pallas outputs cannot alias loop carries) —
+    # measured 4.5 vs 2.8 ms/iter. Unrolled, XLA chains buffers freely.
     zeros = jnp.zeros_like(spec_re)
-    s_re, s_im, _, _ = jax.lax.fori_loop(
-        0, n_iter, body, (spec_re, spec_im, zeros, zeros))
+    carry = (spec_re, spec_im, zeros, zeros)
+    for _ in range(n_iter):
+        carry = body(carry)
+    s_re, s_im = carry[0], carry[1]
 
     synth = jax.vmap(lambda re, im: istft_pair(
         re, im, n_fft, hop, win_length))
-    return synth(s_re[:, :f_true, :bins], s_im[:, :f_true, :bins])
+    return synth(s_re[:, fb:fb + f_true, :bins],
+                 s_im[:, fb:fb + f_true, :bins])

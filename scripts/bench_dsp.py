@@ -82,11 +82,12 @@ def main():
 
     @jax.jit
     def gl_batch(m):
-        # the production DSP.griffinlim path: complex-free DFT-matmul GL
-        key = jax.random.PRNGKey(0)
-        return jax.vmap(lambda s: griffin_lim_pair(
-            s, key, n_fft=n_fft, hop_length=hop, win_length=win,
-            n_iter=32))(m)
+        # the production DSP.griffinlim path: fused per-iteration Pallas
+        # kernel (ops/pallas/griffin_lim.py), f32 — tracks the pair path
+        from forwardtacotron_tpu.ops.pallas.griffin_lim import \
+            griffin_lim_fused
+        keys = jax.random.split(jax.random.PRNGKey(0), m.shape[0])
+        return griffin_lim_fused(m, keys, n_fft, hop, win, n_iter=32)
 
     seed_gl = jax.jit(lambda x0, y: x0 + (y[0, 0] * 0).astype(x0.dtype))
     dt = chained(lambda m: gl_batch(m), mags, seed_gl, n=5)
