@@ -245,6 +245,22 @@ class HiFiGANGenerator(nn.Module):
     # the remaining idea — the upsampler computed inside the MRF kernel's
     # input stage — is future work.) 0 disables (reference op order).
     fuse_tail_max_ch: int = 0
+    # Round-5 attempt 3 — PHASE-STACKED tail: once a level's output channel
+    # count drops to <= this, transpose once to [B, C, T] and run each
+    # remaining level (leaky -> transposed-conv upsample -> whole MRF) as
+    # ONE Pallas kernel in phase-stacked channels-major form
+    # (ops/pallas/mrf.py ups_mrf_pallas): phase r of global sample s*t+r
+    # is row block r at lane t, so the upsampler's interleave — the op
+    # that killed the r4 tail — never materializes anywhere. One XLA
+    # de-phase-stack reshape at the end feeds conv_post in the reference
+    # layout. MEASURED END-TO-END on v5e (v1 config, batch 64 x 512
+    # frames, bf16, same process interleaved A/B): 366 ms phase-stacked
+    # tail (max_ch=64) vs 583 ms reference op order — 1.59x, the first
+    # vocoder-tail formulation that WINS in situ, so it ships ON
+    # (max_ch=32 measured 412 ms: entering one level later loses the
+    # level-3 win). Parity vs the reference op order ~2e-7 f32
+    # (tests/test_mrf.py). 0 disables.
+    fuse_ups_tail_max_ch: int = 64
 
     @property
     def hop_length(self) -> int:
@@ -337,6 +353,58 @@ class HiFiGANGenerator(nn.Module):
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
         return jax.default_backend() == 'tpu' or interpret_forced()
 
+    def _ups_tail_fusable(self, ch_out: int, level: int,
+                          t_in: int) -> bool:
+        """True when this level and everything after it can run in the
+        phase-stacked fused-upsample tail."""
+        if self.fuse_ups_tail_max_ch <= 0 \
+                or ch_out > self.fuse_ups_tail_max_ch:
+            return False
+        if self.resblock != '1' or self.is_initializing():
+            return False
+        dils = self.resblock_dilation_sizes
+        if any(tuple(d) != tuple(dils[0]) for d in dils):
+            return False
+        s_total = 1
+        for j in range(level, len(self.upsample_rates)):
+            k, s = self.upsample_kernel_sizes[j], self.upsample_rates[j]
+            if not (s > 1 and k - s == 2 * ((k - s) // 2)):
+                return False
+            s_total *= s
+        # phase-uniform masking requires the global length to split evenly
+        if t_in % s_total != 0 and s_total > 1:
+            # t_in divisible is sufficient (output lengths only grow by s)
+            return False
+        import jax
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        return jax.default_backend() == 'tpu' or interpret_forced()
+
+    def _ups_mrf_level(self, x_ps: jnp.ndarray, level: int, s_in: int,
+                       t_valid: int) -> jnp.ndarray:
+        """One level (leaky -> upsample -> MRF) via ups_mrf_pallas on the
+        phase-stacked [B, s_in*C_in, T_ps] activation."""
+        from forwardtacotron_tpu.ops.pallas.mrf import (pack_conv_weight,
+                                                        ups_mrf_pallas)
+        up = self.ups[level]
+        p = up.variables['params']
+        num_kernels = len(self.resblock_kernel_sizes)
+        weights = []
+        for j in range(num_kernels):
+            rb = self.resblocks[level * num_kernels + j]
+            p1 = [m.variables['params']['conv'] for m in rb.convs1]
+            p2 = [m.variables['params']['conv'] for m in rb.convs2]
+            for ps in (p1, p2):
+                weights.append(jnp.stack(
+                    [pack_conv_weight(q['kernel']).astype(x_ps.dtype)
+                     for q in ps]))
+                weights.append(jnp.stack(
+                    [q['bias'].astype(jnp.float32) for q in ps])[:, :, None])
+        return ups_mrf_pallas(
+            x_ps, p['kernel'], p['bias'], tuple(weights),
+            s_in, self.upsample_rates[level],
+            tuple(self.resblock_kernel_sizes),
+            tuple(self.resblock_dilation_sizes[0]), t_valid)
+
     def _up_cm(self, x_cm: jnp.ndarray, level: int) -> jnp.ndarray:
         """Channels-major polyphase upsampler: the s output phases run as
         ONE [s*F, taps*C_in] GEMM against a channels-major im2col, then a
@@ -364,9 +432,22 @@ class HiFiGANGenerator(nn.Module):
         num_kernels = len(self.resblock_kernel_sizes)
         x = self.conv_pre(mel.astype(self.dtype))
         cm = False            # channels-major tail active
+        s_in = 1              # phase-stacked tail: phases accumulated
+        ps = False
         ch = self.upsample_initial_channel
         for i, up in enumerate(self.ups):
             ch //= 2
+            if not ps and not cm \
+                    and self._ups_tail_fusable(ch, i, x.shape[1]):
+                # phase-stacked fused-upsample tail: one transpose in,
+                # one de-phase-stack reshape at the end
+                x = jnp.swapaxes(x, 1, 2)       # [B, C, T], s_in = 1
+                ps = True
+            if ps:
+                t_valid = x.shape[-1]
+                x = self._ups_mrf_level(x, i, s_in, t_valid)
+                s_in *= self.upsample_rates[i]
+                continue
             if not cm and self._tail_fusable(ch, i):
                 # one transpose into [B, C, T]; every op after this stays
                 # channels-major (upsampler GEMM, fused MRF kernel,
@@ -386,6 +467,13 @@ class HiFiGANGenerator(nn.Module):
                 for j in range(1, num_kernels):
                     xs = xs + self.resblocks[i * num_kernels + j](x)
                 x = xs / num_kernels
+        if ps:
+            # de-phase-stack once: [B, s*C, T_ps] -> [B, s*T_ps, C]
+            # (element (b, s*t + r, c) = x[b, r*C + c, t])
+            b_, rows, t_ps = x.shape
+            c_f = rows // s_in
+            x = x.reshape(b_, s_in, c_f, t_ps).transpose(0, 3, 1, 2)
+            x = x.reshape(b_, t_ps * s_in, c_f)
         if cm:
             # conv_post stays channels-last: measured 6.6 ms (one
             # transpose + XLA conv) vs 27.6 ms for a channels-major GEMM

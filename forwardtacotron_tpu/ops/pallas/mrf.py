@@ -164,3 +164,175 @@ def mrf_pallas(x: jnp.ndarray,
     )(windows, mask, *weights)
 
     return jnp.swapaxes(out, 1, 2).reshape(b, c, t_pad)[:, :, :t]
+
+
+# ---------------------------------------------------- fused upsample + MRF
+
+# The round-4 channels-major tail lost END-TO-END because the polyphase
+# upsampler ran as a separate XLA GEMM with an interleave (depth-to-space)
+# between the MRF kernels (255 vs 208 ms full v1). This kernel removes the
+# interleave from existence: activations live PHASE-STACKED channels-major
+# [s*C, T/s] — phase r of global sample tau = s*t + r is row block r at
+# lane t. In that representation:
+#   * the transposed-conv upsampler's output phases are natural GEMM row
+#     blocks (per input-phase/tap GEMM accumulated into the right output
+#     block with a +-1 lane shift) — no zero-stuffing, no interleave;
+#   * an MRF conv tap at global offset delta maps out-phase r to source
+#     phase (r+delta) mod s with lane shift floor((r+delta)/s) — the same
+#     per-tap GEMM loop as _mrf_kernel, with phase bookkeeping.
+# One kernel per level computes leaky -> upsample -> whole MRF; the tail
+# de-phase-stacks ONCE at the end (an XLA reshape of the final tensor).
+
+MAX_SHIFT_PS = 32    # >= max per-phase lane shift (kr=11,d=5,s=2: 13) + ups
+
+
+def _ups_mrf_kernel(x_ref, mask_in_ref, mask_out_ref, upw_ref, upb_ref,
+                    *rest, s_in, s_up, krs, dils, t_tile):
+    """One (batch item, lane tile). x_ref [1, 1, s_in*C_in, T_w_in]
+    phase-stacked input (already windowed with halo lanes); masks
+    [1, 1, 1, T_w] (input / output lane validity); upw [k, C_in, C_out]
+    (pre-flipped, TransposedConv1d layout); upb [C_out, 1]; rest = MRF
+    (w1, b1, w2, b2) per kr, then out_ref [1, 1, s_out*C_out, t_tile]."""
+    *wb, out_ref = rest
+    s_out = s_in * s_up
+    k_up = upw_ref.shape[0]
+    c_in = upw_ref.shape[1]
+    c = upw_ref.shape[2]
+    t_w = x_ref.shape[3]
+    pad_up = k_up - 1 - (k_up - s_up) // 2
+    x = x_ref[0, 0]
+    m_in = mask_in_ref[0, 0]
+    m_out = mask_out_ref[0, 0]
+
+    # leaky (pre-upsample, slope 0.1) + zero outside the true sequence
+    x = _leaky(x) * m_in
+
+    # ---- polyphase transposed conv: accumulate per (input phase, tap)
+    x_ext = jnp.pad(x, ((0, 0), (MAX_SHIFT_PS, MAX_SHIFT_PS)))
+    ublocks = [None] * s_out
+    for r_in in range(s_in):
+        xe = x_ext[r_in * c_in:(r_in + 1) * c_in]
+        for m in range(k_up):
+            off = s_up * r_in + pad_up - m
+            r_out = off % s_out
+            sig = (off - r_out) // s_out
+            # out[:, l] += W_m^T @ x[:, l - sig]
+            y = jax.lax.dot_general(
+                upw_ref[m], xe[:, MAX_SHIFT_PS - sig:
+                               MAX_SHIFT_PS - sig + t_w],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ublocks[r_out] = y if ublocks[r_out] is None \
+                else ublocks[r_out] + y
+    u = jnp.concatenate(
+        [(blk + upb_ref[...]).astype(x.dtype) for blk in ublocks], axis=0)
+
+    # ---- MRF in s_out-phase space
+    def conv_ps(a, w, bias, kr, dil):
+        a_ext = jnp.pad(a, ((0, 0), (MAX_SHIFT_PS, MAX_SHIFT_PS)))
+        outs = []
+        for r in range(s_out):
+            acc = None
+            for j in range(kr):
+                delta = (j - kr // 2) * dil
+                q = (r + delta) % s_out
+                sig = (r + delta - q) // s_out
+                y_j = jax.lax.dot_general(
+                    w[:, j * c:(j + 1) * c],
+                    a_ext[q * c:(q + 1) * c,
+                          MAX_SHIFT_PS + sig:MAX_SHIFT_PS + sig + t_w],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = y_j if acc is None else acc + y_j
+            outs.append((acc + bias).astype(a.dtype))
+        return jnp.concatenate(outs, axis=0)
+
+    acc = jnp.zeros((s_out * c, t_w), jnp.float32)
+    wb_i = 0
+    for kr in krs:
+        w1, b1 = wb[wb_i][...], wb[wb_i + 1][...]
+        w2, b2 = wb[wb_i + 2][...], wb[wb_i + 3][...]
+        wb_i += 4
+        cur = u
+        for i_u, dil in enumerate(dils):
+            a = _leaky(cur) * m_out
+            y = conv_ps(a, w1[i_u], b1[i_u], kr, dil)
+            a2 = _leaky(y) * m_out
+            y2 = conv_ps(a2, w2[i_u], b2[i_u], kr, 1)
+            cur = cur + y2
+        acc = acc + cur.astype(jnp.float32)
+    out = (acc / len(krs)).astype(x.dtype) * m_out
+    out_ref[0, 0] = out[:, (t_w - t_tile) // 2:(t_w - t_tile) // 2 + t_tile]
+
+
+@partial(jax.jit, static_argnames=('s_in', 's_up', 'krs', 'dils',
+                                   't_valid', 't_tile', 'interpret'))
+def ups_mrf_pallas(x: jnp.ndarray,
+                   up_kernel: jnp.ndarray,
+                   up_bias: jnp.ndarray,
+                   weights: Tuple[jnp.ndarray, ...],
+                   s_in: int,
+                   s_up: int,
+                   krs: Sequence[int],
+                   dils: Sequence[int],
+                   t_valid: int,
+                   t_tile: int = 512,
+                   interpret: bool = False) -> jnp.ndarray:
+    """One whole HiFi-GAN level (leaky -> transposed-conv upsample by
+    ``s_up`` -> full MRF) in one dispatch, phase-stacked channels-major.
+
+    x: [B, s_in*C_in, T_ps] (``s_in`` = product of upstream upsample
+    rates since entering the tail; phase r of global sample s*t+r is row
+    block r at lane t). ``t_valid``: true per-phase length (lanes beyond
+    it are padding and masked off). up_kernel [k, C_in, C_out] is the
+    TransposedConv1d parameter (stored pre-flipped); ``weights`` like
+    :func:`mrf_pallas`. Returns [B, s_in*s_up*C_out, T_ps].
+    """
+    b, rows_in, t_ps = x.shape
+    s_out = s_in * s_up
+    interpret = interpret or jax.default_backend() != 'tpu'
+    # per-phase halo lanes: the global MRF span divided across phases plus
+    # one lane of rounding per chained conv (6) plus the upsampler's +-1
+    halo = -(-HALO // s_out) + 8
+    t_tile = min(t_tile, max(128, ((t_ps + 127) // 128) * 128))
+    n_tiles = -(-t_ps // t_tile)
+    t_pad = n_tiles * t_tile
+    t_w = t_tile + 2 * halo
+
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + t_pad - t_ps)))
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice(x_p, (0, 0, i * t_tile), (b, rows_in, t_w))
+         for i in range(n_tiles)], axis=1)
+
+    pos = (np.arange(t_w)[None, :]
+           + (np.arange(n_tiles) * t_tile)[:, None] - halo)
+    m_np = np.asarray((pos >= 0) & (pos < t_valid), np.float32)
+    mask = jnp.asarray(m_np, x.dtype)[None, :, None, :]
+    mask = jnp.broadcast_to(mask, (b, n_tiles, 1, t_w))
+
+    c_out = up_kernel.shape[2]
+    out = pl.pallas_call(
+        partial(_ups_mrf_kernel, s_in=s_in, s_up=s_up, krs=tuple(krs),
+                dils=tuple(dils), t_tile=t_tile),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows_in, t_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        out_specs=pl.BlockSpec((1, 1, s_out * c_out, t_tile),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, s_out * c_out, t_tile),
+                                       x.dtype),
+        interpret=interpret,
+    )(windows, mask, mask, up_kernel.astype(x.dtype),
+      up_bias.astype(jnp.float32)[:, None], *weights)
+
+    return jnp.swapaxes(out, 1, 2).reshape(
+        b, s_out * c_out, t_pad)[:, :, :t_ps]

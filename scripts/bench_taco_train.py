@@ -5,10 +5,14 @@ alignment source for the forward models; its decoder is a sequential
 `nn.scan` over T//r attention+RNN steps, so throughput depends strongly on
 the reduction factor r (schedule goes r=5 -> r=1,
 configs/singlespeaker.yaml:77-80). Chained steps through donated state +
-one readback (see bench_readback_sanity.py). Prints steps/s per (r,
-precision) at the reference's bucket shapes.
+one readback (see bench_readback_sanity.py). Prints min/median/max steps/s
+over N_TRIALS per (r, precision) at the reference's bucket shapes and
+writes scripts/results/taco_train_dispersion.json — the pooled chip
+jitters, so round-over-round deltas need the spread to be judged signal.
 """
 
+import json
+import statistics
 import sys
 import tempfile
 import time
@@ -17,6 +21,8 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_TRIALS = 5
 
 
 def main():
@@ -37,6 +43,7 @@ def main():
         'mel': (rs.randn(bs, t, 80).astype(np.float32) - 4.0),
     }
 
+    results = {}
     for precision in ('float32', 'bfloat16'):
         config = read_config('configs/singlespeaker.yaml')
         tmp = tempfile.mkdtemp(prefix='bench_taco_')
@@ -63,8 +70,8 @@ def main():
             state, m, _ = step_fn(state, batch, rng)
             float(m['loss'])          # forces compile + first step
 
-            best = 0.0
-            for _ in range(3):
+            trials = []
+            for _ in range(N_TRIALS):
                 n = 10
                 start = time.time()
                 for _ in range(n):
@@ -72,10 +79,22 @@ def main():
                     state, m, _ = step_fn(state, batch, sub)
                 float(m['loss'])
                 dt = time.time() - start
-                best = max(best, n / dt)
-            print(f'{precision:9s} r={r}: {best:6.2f} steps/s '
-                  f'(bs={bs}, T={t}), loss={float(m["loss"]):.4f}',
-                  flush=True)
+                trials.append(n / dt)
+            trials.sort()
+            med = statistics.median(trials)
+            results[f'{precision}_r{r}'] = {
+                'min': round(trials[0], 2), 'median': round(med, 2),
+                'max': round(trials[-1], 2), 'trials': len(trials)}
+            print(f'{precision:9s} r={r}: median {med:6.2f} steps/s '
+                  f'[min {trials[0]:.2f}, max {trials[-1]:.2f}, '
+                  f'n={len(trials)}] (bs={bs}, T={t}), '
+                  f'loss={float(m["loss"]):.4f}', flush=True)
+
+    out = Path(__file__).resolve().parent / 'results' / \
+        'taco_train_dispersion.json'
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(f'wrote {out}')
 
 
 if __name__ == '__main__':
