@@ -1,7 +1,10 @@
 """Training-step throughput on the real chip: f32 vs bf16 mixed precision.
 
 Full-size singlespeaker ForwardTacotron, synthetic batch (bs x T like the
-LJSpeech bucket shapes). Prints steps/s best-of-trials per precision.
+LJSpeech bucket shapes). Prints median-of-trials steps/s with spread per
+(precision, batch size) — the reference bs=32 plus the large-batch recipes
+evaluated by scripts/exp_student_recipe.py (sqrt-LR scaling); samples/s is
+the number that matters for wall-clock-to-convergence.
 """
 
 import sys
@@ -25,22 +28,28 @@ def main():
     from forwardtacotron_tpu.utils.paths import Paths
     import tempfile
 
-    bs, n_tok, t = 32, 104, 832
+    n_tok, t = 104, 832
     rs = np.random.RandomState(0)
-    dur = np.full((bs, n_tok), t // n_tok, np.float32)
-    batch = {
-        'x': rs.randint(1, 130, (bs, n_tok)).astype(np.int64),
-        'dur': dur,
-        'x_len': np.full((bs,), n_tok, np.int64),
-        'mel_len': np.full((bs,), t, np.int64),
-        'pitch': rs.randn(bs, n_tok).astype(np.float32),
-        'energy': rs.rand(bs, n_tok).astype(np.float32),
-        'pitch_target': rs.randn(bs, n_tok).astype(np.float32),
-        'energy_target': rs.rand(bs, n_tok).astype(np.float32),
-        'mel': rs.randn(bs, t, 80).astype(np.float32) - 4.0,
-    }
 
-    for precision in ('float32', 'bfloat16'):
+    def make_batch(bs):
+        return {
+            'x': rs.randint(1, 130, (bs, n_tok)).astype(np.int64),
+            'dur': np.full((bs, n_tok), t // n_tok, np.float32),
+            'x_len': np.full((bs,), n_tok, np.int64),
+            'mel_len': np.full((bs,), t, np.int64),
+            'pitch': rs.randn(bs, n_tok).astype(np.float32),
+            'energy': rs.rand(bs, n_tok).astype(np.float32),
+            'pitch_target': rs.randn(bs, n_tok).astype(np.float32),
+            'energy_target': rs.rand(bs, n_tok).astype(np.float32),
+            'mel': rs.randn(bs, t, 80).astype(np.float32) - 4.0,
+        }
+
+    sizes = [32, 128, 256]
+    for precision, bs in [(p_, b_) for p_ in ('float32', 'bfloat16')
+                          for b_ in sizes]:
+        if precision == 'float32' and bs != 32:
+            continue        # large-batch recipes train bf16
+        batch = make_batch(bs)
         config = read_config('configs/singlespeaker.yaml')
         tmp = tempfile.mkdtemp(prefix='bench_train_')
         config['data_path'] = f'{tmp}/data'
@@ -64,8 +73,8 @@ def main():
 
         # steps chain through the donated state, so fetching the last
         # step's loss forces the whole sequence to have executed
-        best = 0.0
-        for _ in range(3):
+        trials = []
+        for _ in range(5):
             n = 20
             start = time.time()
             for _ in range(n):
@@ -73,7 +82,9 @@ def main():
                 state, m = step_fn(state, db, sub)
             float(m['loss'])
             dt = time.time() - start
-            best = max(best, n / dt)
+            trials.append(n / dt)
+        trials.sort()
+        best = trials[len(trials) // 2]    # median
 
         from forwardtacotron_tpu.utils.flops import (
             forward_tacotron_activation_bytes, forward_tacotron_param_bytes,
@@ -87,7 +98,9 @@ def main():
             + 2 * forward_tacotron_param_bytes(config, dtype_bytes=4))
         roof = roofline_report(step_flops * best, step_bytes * best, 1.0,
                                dtype='bf16')
-        print(f'{precision}: {best:.2f} steps/s (bs={bs}, T={t}), '
+        print(f'{precision} bs={bs}: median {best:.2f} steps/s '
+              f'[{trials[0]:.2f}, {trials[-1]:.2f}] = '
+              f'{best*bs:.0f} samples/s (T={t}), '
               f'loss={float(m["loss"]):.4f} | '
               f'{roof["achieved_tflops"]:.1f} TF/s on {roof["chip"]} = '
               f'{roof["mfu"]*100:.1f}% MFU, '
