@@ -660,7 +660,14 @@ def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 class PositionalEncoding(nn.Module):
-    """Sinusoidal PE with a learned scalar scale (reference common_layers.py:127-145)."""
+    """Sinusoidal PE with a learned scalar scale (reference common_layers.py:127-145).
+
+    The reference precomputes a max_len=5000 buffer and hard-fails beyond
+    it; the table here is built at trace time for exactly the sequence
+    length seen (same values — sinusoids are deterministic in position),
+    so long-form synthesis (16k+ frames) works with identical numerics in
+    the shared range. ``max_len`` is kept for parameter-tree parity only.
+    """
     d_model: int
     dropout: float = 0.1
     max_len: int = 5000
@@ -668,8 +675,8 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         scale = self.param('scale', nn.initializers.ones, (1,))
-        pe = jnp.asarray(sinusoidal_table(self.max_len, self.d_model))
-        x = x + scale * pe[None, :x.shape[1], :]
+        pe = jnp.asarray(sinusoidal_table(x.shape[1], self.d_model))
+        x = x + scale * pe[None, :, :]
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 

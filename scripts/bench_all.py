@@ -51,25 +51,40 @@ def main():
                 f'{r.stderr.strip().splitlines()[-1:] if r.stderr else ""}')
         d = json.loads(lines[-1])
         out['serving'] = d['value']
+        out['serving_trials'] = d.get('trials_audio_s_per_s')
         out['mfu'] = d.get('mfu')
         out['text2wav'] = d.get('text2wav_audio_s_per_s')
         out['vs_baseline'] = d.get('vs_baseline')
     attempt('serving', serving)
 
     def train():
-        r = run(['scripts/bench_train.py'], timeout=900)
-        m = re.findall(r'(\w+): ([\d.]+) steps/s', r.stdout)
-        for prec, val in m:
-            out[f'train_steps_s_{prec}'] = float(val)
-        out['train_steps_s'] = max((float(v) for _, v in m), default=None)
+        r = run(['scripts/bench_train.py'], timeout=1500)
+        m = re.findall(
+            r'(\w+) bs=(\d+): median ([\d.]+) steps/s '
+            r'\[([\d.]+), ([\d.]+)\]', r.stdout)
+        vals = {}
+        for prec, bs, med, lo, hi in m:
+            vals[f'{prec}_bs{bs}'] = {
+                'median': float(med), 'min': float(lo), 'max': float(hi)}
+            if bs == '32':
+                out[f'train_steps_s_{prec}'] = float(med)
+        out['train'] = vals or None
+        # headline: bf16 at the reference bs=32 (median)
+        ref = vals.get('bfloat16_bs32') or vals.get('float32_bs32')
+        out['train_steps_s'] = ref['median'] if ref else None
     attempt('train_steps_s', train)
 
     def taco():
-        r = run(['scripts/bench_taco_train.py'], timeout=900)
-        m = re.findall(r'(\w+)\s+r=(\d+):\s+([\d.]+) steps/s', r.stdout)
-        vals = {f'{prec}_r{rr}': float(v) for prec, rr, v in m}
+        r = run(['scripts/bench_taco_train.py'], timeout=1500)
+        m = re.findall(
+            r'(\w+)\s+r=(\d+): median\s+([\d.]+) steps/s '
+            r'\[min ([\d.]+), max ([\d.]+)', r.stdout)
+        vals = {f'{prec}_r{rr}': {'median': float(v), 'min': float(lo),
+                                  'max': float(hi)}
+                for prec, rr, v, lo, hi in m}
         out['taco_train'] = vals or None
-        out['taco_train_steps_s'] = vals.get('float32_r1')
+        f32r1 = vals.get('float32_r1')
+        out['taco_train_steps_s'] = f32r1['median'] if f32r1 else None
     attempt('taco_train_steps_s', taco)
 
     def extraction():
@@ -90,6 +105,26 @@ def main():
                 vals[key] = float(m.group(1).replace(',', ''))
         out['dsp'] = vals or None
     attempt('dsp', dsp)
+
+    def serving_mix():
+        r = run(['scripts/bench_serving_mix.py'], timeout=1500)
+        m = re.search(r'routed mix: ([\d.]+) audio-s/s sustained', r.stdout)
+        res = REPO / 'scripts' / 'results' / 'serving_mix.json'
+        if m:
+            out['serving_mix'] = float(m.group(1))
+            if res.is_file():
+                out['serving_mix_detail'] = json.loads(res.read_text())
+    attempt('serving_mix', serving_mix)
+
+    def longform():
+        r = run(['scripts/bench_longform.py'], timeout=2400)
+        res = REPO / 'scripts' / 'results' / 'longform.json'
+        if res.is_file():
+            out['longform'] = json.loads(res.read_text())
+        elif r.returncode != 0:
+            raise RuntimeError(r.stderr.strip().splitlines()[-1]
+                               if r.stderr else 'longform failed')
+    attempt('longform', longform)
 
     if errors:
         out['_errors'] = errors
