@@ -371,6 +371,12 @@ class HiFiGANGenerator(nn.Module):
             if not (s > 1 and k - s == 2 * ((k - s) // 2)):
                 return False
             s_total *= s
+        # the phase-stacked row count is s_total * C_final; past ~4 phases
+        # (the x2/x2 tail levels this design targets) the VMEM blocks blow
+        # past the scoped 16 MB limit (a v2-config tail entered at level 0
+        # would accumulate 256 phases)
+        if s_total > 4:
+            return False
         # phase-uniform masking requires the global length to split evenly
         if t_in % s_total != 0 and s_total > 1:
             # t_in divisible is sufficient (output lengths only grow by s)

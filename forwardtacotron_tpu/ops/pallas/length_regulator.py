@@ -46,7 +46,20 @@ def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
         padded = ((max_len + T_TILE - 1) // T_TILE) * T_TILE
         return _pallas_impl(x, dur, padded, interpret)[:, :max_len]
     starts, ends = duration_spans(dur)
-    b_tile = next(bt for bt in (B_TILE, 4, 2, 1) if b % bt == 0)
+    # batch tile: divisibility AND a VMEM budget — at long-form token
+    # counts (N=2048 for a 16k-frame decode) the [b_tile, N, C] token
+    # block dominates; an 8-item tile was 33 MB and blew the 16 MB scoped
+    # limit. ~6 MB keeps block + selection temporaries + double buffering
+    # comfortably inside it at every shape that reaches this path.
+    budget = 6 * 2 ** 20
+    item = x.dtype.itemsize
+
+    def tile_bytes(bt):
+        return bt * (n * c * item + 2 * n * 4 + T_TILE * c * item
+                     + T_TILE * n * 4)
+
+    b_tile = next((bt for bt in (B_TILE, 4, 2, 1)
+                   if b % bt == 0 and tile_bytes(bt) <= budget), 1)
 
     return pl.pallas_call(
         partial(_lr_kernel, b_tile=b_tile),

@@ -94,7 +94,7 @@ def main():
                       if hasattr(a, 'dtype') and a.dtype == jnp.float32
                       else a, v)
 
-    for frames, b in ((8192, 8), (16384, 4)):
+    for frames, b in ((8192, 16), (16384, 8)):
         def decode(variables, x, dur, pitch, energy, frames=frames):
             def f(v_, x_, d_, p_, e_):
                 with pallas_rnns('on'):
@@ -117,7 +117,7 @@ def main():
                 return ft.apply(v_, x_, d_, p_, e_, 16384,
                                 method=ForwardTacotron.generate)
         return jax.jit(f)(variables, x, dur, pitch, energy)
-    run('forward_tacotron_16384f', ft, v2b, 16384, 4, decode_ft)
+    run('forward_tacotron_16384f', ft, v2b, 16384, 8, decode_ft)
 
     out = Path(__file__).resolve().parent / 'results' / 'longform.json'
     out.parent.mkdir(exist_ok=True)
