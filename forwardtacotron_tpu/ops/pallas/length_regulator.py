@@ -27,12 +27,14 @@ B_TILE = 8
 
 
 def _lr_kernel(starts_ref, ends_ref, x_ref, out_ref, *, b_tile):
+    # spans arrive [bt, 1, n]: the (1, n) trailing block dims equal the
+    # array's, which keeps any batch tile legal under the 8x128 tiling rule
     t0 = pl.program_id(1) * T_TILE
     n = x_ref.shape[1]
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, n), 0) + t0
     for k in range(b_tile):
-        starts = starts_ref[k, :][None, :]
-        ends = ends_ref[k, :][None, :]
+        starts = starts_ref[k, 0, :][None, :]
+        ends = ends_ref[k, 0, :][None, :]
         sel = ((t_ids >= starts) & (t_ids < ends)).astype(x_ref.dtype)
         out_ref[k] = jnp.dot(sel, x_ref[k],
                              preferred_element_type=jnp.float32
@@ -68,9 +70,9 @@ def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
             # blocked per batch tile: an unblocked spec would DMA the FULL
             # [B, N] spans into every program (1.4 GB of redundant traffic
             # at serving shapes — measured 4x the bytes-floor SoL)
-            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+            pl.BlockSpec((b_tile, 1, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, n), lambda i, j: (i, 0),
+            pl.BlockSpec((b_tile, 1, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -79,7 +81,7 @@ def _pallas_impl(x: jnp.ndarray, dur: jnp.ndarray, max_len: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, max_len, c), x.dtype),
         interpret=interpret,
-    )(starts, ends, x)
+    )(starts[:, None, :], ends[:, None, :], x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
