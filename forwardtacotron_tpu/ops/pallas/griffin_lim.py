@@ -54,8 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from forwardtacotron_tpu.ops.stft import (_dft_matrices, _ola_win_sq,
-                                          _pad_center, hann_window)
+from forwardtacotron_tpu.ops.stft import _dft_matrices, _ola_win_sq
 
 
 def _lane_pad(n: int) -> int:
