@@ -253,14 +253,19 @@ class HiFiGANGenerator(nn.Module):
     # is row block r at lane t, so the upsampler's interleave — the op
     # that killed the r4 tail — never materializes anywhere. One XLA
     # de-phase-stack reshape at the end feeds conv_post in the reference
-    # layout. MEASURED END-TO-END on v5e (v1 config, batch 64 x 512
-    # frames, bf16, same process interleaved A/B): 366 ms phase-stacked
-    # tail (max_ch=64) vs 583 ms reference op order — 1.59x, the first
-    # vocoder-tail formulation that WINS in situ, so it ships ON
-    # (max_ch=32 measured 412 ms: entering one level later loses the
-    # level-3 win). Parity vs the reference op order ~2e-7 f32
-    # (tests/test_mrf.py). 0 disables.
-    fuse_ups_tail_max_ch: int = 64
+    # layout. MEASURED END-TO-END on v5e (v1 config, bf16, QUIET chip,
+    # median-of-4 + readback): 365 vs 234 ms at batch 64 x 512 frames and
+    # 361 vs 169 ms at 128 x 256 — the phase-stacked kernel LOSES ~2x.
+    # (An earlier same-process A/B read 366 vs 583 ms — a false win: the
+    # reference run was inflated by three benches contending for the
+    # pooled chip. Lesson recorded: A/B only on a quiet chip.) The per-
+    # (phase, tap) GEMMs at M=C_out<=64 underuse the MXU and the s_out-x
+    # GEMM dispatch count outweighs the interleave it avoids. Ships OFF
+    # with parity tests (~2e-7 f32, tests/test_mrf.py), closing the
+    # vocoder-tail line: all three formulations (per-level channels-major,
+    # channels-major tail, phase-stacked fused-upsample tail) now have
+    # measured rejections. 0 disables (the default).
+    fuse_ups_tail_max_ch: int = 0
 
     @property
     def hop_length(self) -> int:

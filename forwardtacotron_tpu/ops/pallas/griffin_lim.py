@@ -272,6 +272,11 @@ def griffin_lim_fused(magnitude: jnp.ndarray,
     r = n_fft // hop
     halo = r - 1
     assert halo <= 8, 'halo blocks are fixed 8 rows'
+    # the exact-edge computation reads the first/last 2R-1 spec rows and
+    # replaces the first/last R frames; shorter inputs should use
+    # griffin_lim_pair (DSP._gl_fused_usable gates on this)
+    assert f_true >= 2 * r, \
+        f'griffin_lim_fused needs >= {2 * r} frames, got {f_true}'
     bp = _lane_pad(bins)
     fb = block_frames
     f_cap = -(-max(f_true, 2 * r) // fb) * fb

@@ -124,9 +124,10 @@ def test_generator_fused_path_matches_unfused(monkeypatch):
 
 
 def test_phase_stacked_ups_tail_matches_reference_order(monkeypatch):
-    """The phase-stacked fused-upsample tail (ups_mrf_pallas, the shipping
-    default at ch<=64 — measured 366 vs 583 ms end-to-end on v5e) matches
-    the reference op order, including multi-tile halos."""
+    """The phase-stacked fused-upsample tail (ups_mrf_pallas — ships OFF:
+    quiet-chip A/B measured 365 vs 234 ms end-to-end on v5e, see the
+    vocoder docstring) matches the reference op order, including
+    multi-tile halos."""
     monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
     import jax
     import jax.numpy as jnp
