@@ -591,12 +591,14 @@ class CBHG(nn.Module):
         x = self.drop(x, deterministic=not train)
         x = self.conv_project2(x, train)
 
-        x = x + residual
-
-        x = self.pre_highway(x)
         if not train and self._highways_fusable(x.dtype):
-            x = self._highways_fused(x)
+            # residual add + pre_highway + all highway layers in ONE
+            # dispatch: the [B, T, C] projected activation never
+            # round-trips HBM between pre_highway and the stack
+            x = self._pre_highways_fused(x, residual)
         else:
+            x = x + residual
+            x = self.pre_highway(x)
             for hw in self.highways:
                 x = hw(x)
         return x
@@ -618,10 +620,7 @@ class CBHG(nn.Module):
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
         return jax.default_backend() == 'tpu' or interpret_forced()
 
-    def _highways_fused(self, x: jnp.ndarray) -> jnp.ndarray:
-        """All highway layers in one Pallas dispatch (pointwise in time, so
-        the [B, T, C] activation flattens to rows with no mask logic)."""
-        from forwardtacotron_tpu.ops.pallas.highway import highway_stack_pallas
+    def _highway_params(self):
         w1 = jnp.stack([hw.variables['params']['W1']['kernel']
                         for hw in self.highways])
         b1 = jnp.stack([hw.variables['params']['W1']['bias']
@@ -630,9 +629,30 @@ class CBHG(nn.Module):
                         for hw in self.highways])
         b2 = jnp.stack([hw.variables['params']['W2']['bias']
                         for hw in self.highways])
+        return w1, b1, w2, b2
+
+    def _highways_fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """All highway layers in one Pallas dispatch (pointwise in time, so
+        the [B, T, C] activation flattens to rows with no mask logic)."""
+        from forwardtacotron_tpu.ops.pallas.highway import highway_stack_pallas
+        w1, b1, w2, b2 = self._highway_params()
         b, t, c = x.shape
         y = highway_stack_pallas(x.reshape(b * t, c), w1, b1, w2, b2)
         return y.reshape(b, t, c)
+
+    def _pre_highways_fused(self, a: jnp.ndarray,
+                            residual: jnp.ndarray) -> jnp.ndarray:
+        """Residual add + pre_highway Dense + highway stack as one kernel
+        (all pointwise in time)."""
+        from forwardtacotron_tpu.ops.pallas.highway import \
+            pre_highway_stack_pallas
+        pre_w = self.pre_highway.variables['params']['kernel']
+        w1, b1, w2, b2 = self._highway_params()
+        b, t, c_in = a.shape
+        y = pre_highway_stack_pallas(a.reshape(b * t, c_in),
+                                     residual.reshape(b * t, c_in),
+                                     pre_w, w1, b1, w2, b2)
+        return y.reshape(b, t, self.channels)
 
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -374,22 +374,27 @@ class TTSInference:
                 out['wav'] = vocoder(out['mel_post'])
             out_parts[int(bucket)] = {k: v[:n] for k, v in out.items()}
 
-        b = x.shape[0]
         max_bucket = int(buckets.max())
+        # reassemble request order with ONE gather per key: concatenate the
+        # (time-padded) group outputs and take the inverse permutation —
+        # the previous per-bucket .at[].set wrote a full-batch copy per
+        # (bucket, key) pair, O(#buckets) passes over every output tensor
+        order = np.concatenate([group_idx[bk]
+                                for bk in sorted(group_idx)])
+        inv = jnp.asarray(np.argsort(order))
         merged: Dict[str, Array] = {}
         for key in out_parts[max_bucket]:
-            sample = out_parts[max_bucket][key]
-            shape = (b,) + sample.shape[1:]
-            acc = jnp.zeros(shape, sample.dtype)
-            for bucket, idx in group_idx.items():
+            parts = []
+            for bucket in sorted(group_idx):
                 part = out_parts[bucket][key]
-                if part.ndim >= 2 and part.shape[1] != shape[1] \
+                want = out_parts[max_bucket][key].shape
+                if part.ndim >= 2 and part.shape[1] != want[1] \
                         and key in ('mel', 'mel_post', 'wav'):
                     part = jnp.pad(
-                        part, ((0, 0), (0, shape[1] - part.shape[1]))
+                        part, ((0, 0), (0, want[1] - part.shape[1]))
                         + ((0, 0),) * (part.ndim - 2))
-                acc = acc.at[jnp.asarray(idx)].set(part)
-            merged[key] = acc
+                parts.append(part)
+            merged[key] = jnp.take(jnp.concatenate(parts), inv, axis=0)
         merged['mel_len'] = jnp.asarray(
             np.minimum(mel_lens, buckets).astype(np.int64))
         if vocoder is not None and 'wav' in merged:

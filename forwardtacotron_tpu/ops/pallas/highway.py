@@ -106,3 +106,72 @@ def highway_stack_pallas(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         interpret=interpret or interpret_forced(),
     )(x, w, b)
     return out[:n] if n_pad else out
+
+
+# --------------------------------------- residual + pre_highway + highways
+
+def _pre_highway_kernel(a_ref, res_ref, pw_ref, w_ref, b_ref, out_ref):
+    """Residual add + the pre_highway Dense (no bias) + the full highway
+    stack, one tile-resident pass. a/res [R, C_in]; pw [C_in, C]."""
+    x = ((a_ref[...] + res_ref[...]).astype(pw_ref.dtype))
+    x = jax.lax.dot_general(
+        x, pw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a_ref.dtype)
+    n_layers = w_ref.shape[0]
+    c = w_ref.shape[1]
+    for layer in range(n_layers):
+        hg = jax.lax.dot_general(
+            x, w_ref[layer], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b_ref[layer]
+        h = jnp.maximum(hg[:, :c], 0.0)
+        g = jax.nn.sigmoid(hg[:, c:])
+        xf = x.astype(jnp.float32)
+        x = (xf + g * (h - xf)).astype(x.dtype)
+    out_ref[...] = x
+
+
+@partial(jax.jit, static_argnames=('block_rows', 'interpret'))
+def pre_highway_stack_pallas(a: jnp.ndarray, res: jnp.ndarray,
+                             pre_w: jnp.ndarray,
+                             w1: jnp.ndarray, b1: jnp.ndarray,
+                             w2: jnp.ndarray, b2: jnp.ndarray,
+                             block_rows: int = 2048,
+                             interpret: bool = False) -> jnp.ndarray:
+    """(a + res) @ pre_w -> highway stack, one dispatch.
+
+    Extends :func:`highway_stack_pallas` with the residual add and the
+    pre_highway projection (reference common_layers.py:112-115) in the
+    kernel's input stage — the [N, C] projected activation and the
+    [N, C_in] sum never round-trip HBM. a/res: [N, C_in]; pre_w:
+    [C_in, C]; highway weights as in highway_stack_pallas.
+    """
+    from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+    n, c_in = a.shape
+    c = pre_w.shape[1]
+    r = block_rows
+    n_pad = -n % r
+    if n_pad:
+        a = jnp.pad(a, ((0, n_pad), (0, 0)))
+        res = jnp.pad(res, ((0, n_pad), (0, 0)))
+    npad = a.shape[0]
+    dt = a.dtype
+    w = jnp.concatenate([w1, w2], axis=-1).astype(dt)
+    b = jnp.concatenate([b1, b2], axis=-1).astype(jnp.float32)[:, None, :]
+    out = pl.pallas_call(
+        _pre_highway_kernel,
+        grid=(npad // r,),
+        in_specs=[
+            pl.BlockSpec((r, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, c), dt),
+        interpret=interpret or interpret_forced(),
+    )(a, res, pre_w.astype(dt), w, b)
+    return out[:n] if n_pad else out

@@ -87,8 +87,13 @@ def main():
         float(jnp.sum(out['mel_post'].astype(jnp.float32).ravel()[:1]))
         return float(frames_holder['frames'].sum()) * HOP / SR
 
-    for _ in range(2):
-        one_call()              # warm the bucket executables
+    # warm 6 calls: XLA compiles per (bucket, pow2-group-size) SHAPE
+    # inside each bucket's jit, so two calls do not cover the group-size
+    # variation of a live mix — compiles during the timed window dominated
+    # an earlier measurement. Six draws of the lognormal mix at this batch
+    # visit every pow2 size the distribution produces.
+    for _ in range(6):
+        one_call()
 
     audio_total, t0 = 0.0, time.time()
     for _ in range(N_CALLS):
