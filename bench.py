@@ -79,10 +79,12 @@ def main():
     # frame bucket so short utterances don't pay the longest one's budget.
     out = inference.generate_fused(xd, max_len=max_len)
     mel_lens = np.minimum(np.asarray(out['mel_len']), max_len)
-    # 32-frame routing granularity: finer buckets cut padded decode work
-    # (~8% of frame-rate compute at these lengths vs 64-frame buckets)
+    # 16-frame routing granularity: finer buckets cut padded decode work —
+    # measured on v5e: 30,826 vs 29,847 audio-s/s at 16 vs 32 (the
+    # benchmark mix's longest bucket drops 256 -> 240 frames, ~6% fewer
+    # padded frames); executables stay bounded at max_len/16 buckets
     buckets = np.minimum(
-        np.array([int(np.ceil(max(int(n), 1) / 32)) * 32
+        np.array([int(np.ceil(max(int(n), 1) / 16)) * 16
                   for n in mel_lens]), max_len)
     groups = []       # (device-resident request group, frame budget, frames)
     for bucket in np.unique(buckets):
