@@ -43,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from forwardtacotron_tpu.ops.pallas.rnn import (_gru_kernel, _pick_bb,
                                                 _lstm_kernel)
 
+# Train-path batch-tile cap: the trainable cores stream an extra
+# cell-state output and carry f32 state scratch, so a 256-item tile at
+# H=512 (gate width 2048) needs 21 MB of scoped VMEM (limit 16 MB,
+# measured at bs=256 bf16). 128 fits every shape that reaches this path.
+_TRAIN_BB_CAP = 128
+
 # ------------------------------------------------------------ forward kernels
 
 
@@ -269,7 +275,7 @@ def _lstm_fwd_call(x2, wi, wh, b_sum, hidden, bb, interpret,
 def gru_core(x2, wi, wh, bi, bh, hidden: int, interpret: bool = False):
     """Bidirectional-as-batch GRU over pre-stacked input x2 [T, 2, B, I]
     (backward direction pre-flipped). Returns hidden states [T, 2, B, H]."""
-    bb = _pick_bb(x2.shape[2])
+    bb = _pick_bb(x2.shape[2], cap=_TRAIN_BB_CAP)
     return _gru_fwd_call(x2, wi, wh, bi, bh, hidden, bb, interpret)
 
 
@@ -281,7 +287,7 @@ def _gru_core_fwd(x2, wi, wh, bi, bh, hidden, interpret):
 def _gru_core_bwd(hidden, interpret, res, dhs):
     x2, wi, wh, bi, bh, hs = res
     t, _, b, in_dim = x2.shape
-    bb = _pick_bb(b)
+    bb = _pick_bb(b, cap=_TRAIN_BB_CAP)
     dtype = x2.dtype
     g = 3 * hidden
 
@@ -321,13 +327,13 @@ gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 def lstm_core(x2, wi, wh, b_sum, hidden: int, interpret: bool = False):
     """Bidirectional-as-batch LSTM over x2 [T, 2, B, I]; ``b_sum`` is the
     combined bias (bi + bh). Returns hidden states [T, 2, B, H]."""
-    bb = _pick_bb(x2.shape[2])
+    bb = _pick_bb(x2.shape[2], cap=_TRAIN_BB_CAP)
     return _lstm_fwd_call(x2, wi, wh, b_sum, hidden, bb, interpret,
                           with_cell=False)
 
 
 def _lstm_core_fwd(x2, wi, wh, b_sum, hidden, interpret):
-    bb = _pick_bb(x2.shape[2])
+    bb = _pick_bb(x2.shape[2], cap=_TRAIN_BB_CAP)
     hs, cs = _lstm_fwd_call(x2, wi, wh, b_sum, hidden, bb, interpret,
                             with_cell=True)
     return hs, (x2, wi, wh, b_sum, hs, cs)
@@ -336,7 +342,7 @@ def _lstm_core_fwd(x2, wi, wh, b_sum, hidden, interpret):
 def _lstm_core_bwd(hidden, interpret, res, dhs):
     x2, wi, wh, b_sum, hs, cs = res
     t, _, b, in_dim = x2.shape
-    bb = _pick_bb(b)
+    bb = _pick_bb(b, cap=_TRAIN_BB_CAP)
     dtype = x2.dtype
     g = 4 * hidden
 
@@ -385,7 +391,7 @@ def bidir_rnn_trainable(x: jnp.ndarray, lengths, fwd_params: Tuple,
     from forwardtacotron_tpu.ops.pallas.rnn import _pad_batch
 
     dtype = x.dtype
-    bb = _pick_bb(x.shape[0])
+    bb = _pick_bb(x.shape[0], cap=_TRAIN_BB_CAP)
     x, b_true = _pad_batch(x, bb)
 
     lens_p = lengths
