@@ -34,7 +34,7 @@ def main():
     import jax
 
     from forwardtacotron_tpu.models.registry import init_tts_model
-    from forwardtacotron_tpu.models.synthesis import TTSInference, bucket_frames
+    from forwardtacotron_tpu.models.synthesis import TTSInference
     from forwardtacotron_tpu.text.tokenizer import Tokenizer
     from forwardtacotron_tpu.utils.files import read_config
 

@@ -158,6 +158,27 @@ def test_verify_reference_checkpoint_gate(tmp_path):
     assert 'GATE PASSED' in r.stdout
 
 
+def test_gate_fails_on_corrupt_checkpoint(tmp_path):
+    """A corrupt/truncated .pt (e.g. a partial download of a PUBLISHED
+    file) must FAIL the gate loudly, not print 'skipping' and pass
+    (round-4 advisor finding)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+
+    bad = tmp_path / 'forward_step90k.pt'
+    bad.write_bytes(b'PK\x03\x04 definitely not a torch checkpoint')
+    r = subprocess.run(
+        [sys.executable, 'scripts/verify_reference_checkpoint.py',
+         str(bad)], capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 1, (r.returncode, r.stdout[-500:])
+    assert 'GATE FAILED' in r.stdout
+    assert 'torch.load failed' in r.stdout
+
+
 @pytest.mark.slow
 def test_gate_covers_all_families_and_vocoders(tmp_path):
     """The widened gate (VERDICT r3 item 8) dispatches on checkpoint
