@@ -414,6 +414,14 @@ class CBHG(nn.Module):
     # extra dispatch boundary cost more than the isolated win. Ships OFF,
     # kept with parity tests like the other rejected CBHG fusions.
     fuse_pool: bool = False
+    # inference: the ENTIRE bank -> ReLU/BN -> maxpool -> tail mask ->
+    # proj1 -> ReLU/BN front as ONE Pallas kernel
+    # (ops/pallas/cbhg.py bank_pool_proj_pallas) — unlike every earlier
+    # attempt, the [B, T, K*C] bank concat never exists anywhere (HBM or
+    # VMEM): branches stream one at a time through scratch, each feeding
+    # partial proj1 GEMMs. Measured A/B in the kernel docstring decides
+    # the default.
+    fuse_front: bool = False
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -557,7 +565,14 @@ class CBHG(nn.Module):
         residual = x
         t = x.shape[1]
 
-        if self.stream_pool_proj and not train and not self.is_initializing():
+        if not train and self._front_fusable(t):
+            if tail is None:
+                mask = jnp.ones(x.shape[:2], jnp.float32)
+            else:
+                mask = 1.0 - tail[:, :, 0].astype(jnp.float32)
+            x = self._front_fused(x, mask)
+        elif self.stream_pool_proj and not train \
+                and not self.is_initializing():
             x = self._bank_pool_proj1_streamed(x, t, tail)
         elif not train and self._pool_proj_fusable(t, x.dtype):
             bank = [conv(x, train)[:, :t, :] for conv in self.conv1d_bank]
@@ -609,6 +624,42 @@ class CBHG(nn.Module):
         import jax
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
         return jax.default_backend() == 'tpu' or interpret_forced()
+
+    def _front_fusable(self, t: int) -> bool:
+        if not self.fuse_front or self.is_initializing():
+            return False
+        from forwardtacotron_tpu.ops.pallas.cbhg import BANK_HALO, MAX_T
+        if t > MAX_T or self.K // 2 > BANK_HALO:
+            return False
+        import jax
+        from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+        return jax.default_backend() == 'tpu' or interpret_forced()
+
+    @staticmethod
+    def _folded_bn(module):
+        """(scale', bias') of an eval BatchNorm: y*scale' + bias'."""
+        v = module.variables
+        mean = v['batch_stats']['bnorm']['mean'].astype(jnp.float32)
+        var = v['batch_stats']['bnorm']['var'].astype(jnp.float32)
+        scale = v['params']['bnorm']['scale'].astype(jnp.float32)
+        bias = v['params']['bnorm']['bias'].astype(jnp.float32)
+        s = jax.lax.rsqrt(var + 1e-5) * scale
+        return s, bias - mean * s
+
+    def _front_fused(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """bank -> ReLU/BN -> pool -> mask -> proj1 -> ReLU/BN, one
+        dispatch; the [B, T, K*C] concat never exists (see kernel)."""
+        from forwardtacotron_tpu.ops.pallas.cbhg import bank_pool_proj_pallas
+        bank_w = tuple(m.variables['params']['conv']['kernel']
+                       for m in self.conv1d_bank)
+        folded = [self._folded_bn(m) for m in self.conv1d_bank]
+        bn_scale = jnp.stack([f[0] for f in folded])
+        bn_bias = jnp.stack([f[1] for f in folded])
+        proj_w = self.conv_project1.variables['params']['conv']['kernel']
+        p_s, p_b = self._folded_bn(self.conv_project1)
+        return bank_pool_proj_pallas(
+            x, mask, bank_w, bn_scale, bn_bias, proj_w, p_s, p_b,
+            ks=tuple(range(1, self.K + 1)))
 
     def _highways_fusable(self, dtype) -> bool:
         if not self.fuse_highways or self.is_initializing() \

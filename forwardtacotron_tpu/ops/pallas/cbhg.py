@@ -154,3 +154,118 @@ def pool_mask_pallas(x: jnp.ndarray, mask: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, t, kc), x.dtype),
         interpret=interpret or interpret_forced(),
     )(x, mask.astype(jnp.float32)[:, None, :])
+
+
+# ------------------------------------------- bank + pool + proj1 mega-kernel
+
+# Every earlier CBHG fusion attempt still materialized (or read) the
+# [B, T, K*C] bank concatenation somewhere: the streamed XLA variant
+# round-tripped each branch through HBM, pool_proj1_pallas read the concat
+# from HBM, and the zero-embedded fused bank paid K^2/sum(k) extra MACs.
+# This kernel runs the ENTIRE bank -> ReLU -> BN -> maxpool -> tail-mask ->
+# proj1-conv -> ReLU -> BN chain branch-by-branch with everything VMEM-
+# resident: HBM traffic is one read of [B, T, C_in] and one write of
+# [B, T, P] — the 2048-wide concat never exists anywhere. Each branch k
+# builds a [T, k*C_in] im2col in scratch (full-depth contraction, no
+# zero taps) and its pooled output feeds three partial proj1 GEMMs.
+# Row shifts go through zero/neg-inf-bordered scratch buffers (ref stores
+# + sublane-offset reads — Mosaic cannot concat offset slices).
+
+BANK_HALO = 8          # >= max bank tap offset (k=16 -> -8..7)
+
+
+def _bank_pool_proj_kernel(x_ref, mask_ref, *rest, ks, c_in, c_bank,
+                           p_out, bb, t):
+    (w_refs, rest2) = (rest[:len(ks)], rest[len(ks):])
+    (bns_ref, bnb_ref, pw_ref, ps_ref, pb_ref, out_ref,
+     xpad_s, col_s, ypad_s, yppad_s) = rest2
+    dt = x_ref.dtype
+    neg = jnp.float32(-3e38)
+    for i in range(bb):
+        # zero-bordered input for tap shifts (kept in the compute dtype —
+        # the XLA path's convs also consume bf16 inputs)
+        xpad_s[0:BANK_HALO] = jnp.zeros((BANK_HALO, c_in), dt)
+        xpad_s[BANK_HALO:BANK_HALO + t] = x_ref[i]
+        xpad_s[BANK_HALO + t:] = jnp.zeros((BANK_HALO, c_in), dt)
+        mask = mask_ref[i, 0, :][:, None]                 # [T, 1] f32
+        pacc = jnp.zeros((t, p_out), jnp.float32)
+        for bi, k in enumerate(ks):
+            for j in range(k):
+                off = j - k // 2
+                col_s[:, j * c_in:(j + 1) * c_in] = \
+                    xpad_s[BANK_HALO + off: BANK_HALO + off + t, :]
+            y = jax.lax.dot_general(
+                col_s[:, :k * c_in], w_refs[bi][...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # ReLU then BN eval affine (reference order, scale/bias folded)
+            y = jnp.maximum(y, 0.0) * bns_ref[bi] + bnb_ref[bi]
+            # maxpool(2,1,left): out[t] = max(y[t-1], y[t]); -inf border
+            ypad_s[0:1] = jnp.full((1, c_bank), neg, jnp.float32)
+            ypad_s[1:t + 1] = y
+            yp = jnp.maximum(ypad_s[1:t + 1, :], ypad_s[0:t, :]) * mask
+            # zero-bordered pooled branch for the k=3 proj taps
+            yppad_s[0:1] = jnp.zeros((1, c_bank), jnp.float32)
+            yppad_s[1:t + 1] = yp
+            yppad_s[t + 1:] = jnp.zeros((1, c_bank), jnp.float32)
+            for d in range(3):                            # taps -1, 0, +1
+                pacc = pacc + jax.lax.dot_general(
+                    yppad_s[d:d + t, :].astype(dt),
+                    pw_ref[d, bi * c_bank:(bi + 1) * c_bank, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        out = jnp.maximum(pacc, 0.0) * ps_ref[...] + pb_ref[...]
+        out_ref[i] = out.astype(dt)
+
+
+@partial(jax.jit, static_argnames=('ks', 'interpret'))
+def bank_pool_proj_pallas(x: jnp.ndarray, mask: jnp.ndarray,
+                          bank_weights, bn_scale, bn_bias,
+                          proj_w, proj_scale, proj_bias,
+                          ks, interpret: bool = False) -> jnp.ndarray:
+    """Whole CBHG front (bank..proj1 incl. both ReLU+BN evals) fused.
+
+    x [B, T, C_in] (already zeroed beyond each item's length);
+    mask [B, T] 1.0 at valid frames (applied after the pool);
+    bank_weights: tuple of [k, C_in, C] conv kernels for k in ``ks``;
+    bn_scale/bn_bias [K, C]: folded eval-BN affine per branch
+    (scale' = scale*rsqrt(var+eps), bias' = bias - mean*scale');
+    proj_w [3, K*C, P]; proj_scale/proj_bias [P]: proj1's folded BN.
+    Returns [B, T, P] = conv_project1 output (post ReLU+BN).
+    """
+    from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+    b, t, c_in = x.shape
+    c_bank = bank_weights[0].shape[-1]
+    p_out = proj_w.shape[-1]
+    kmax = max(ks)
+    dt = x.dtype
+    bb = next((n for n in (8, 4, 2, 1) if b % n == 0), 1)
+    wk = tuple(jnp.asarray(w, dt).reshape(w.shape[0] * c_in, c_bank)
+               for w in bank_weights)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_bank_pool_proj_kernel, ks=tuple(ks), c_in=c_in,
+                c_bank=c_bank, p_out=p_out, bb=bb, t=t),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, t, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [full] * (len(ks) + 5),
+        out_specs=pl.BlockSpec((bb, t, p_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, p_out), dt),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2 * BANK_HALO, c_in), dt),
+            pltpu.VMEM((t, kmax * c_in), dt),
+            pltpu.VMEM((t + 1, c_bank), jnp.float32),
+            pltpu.VMEM((t + 2, c_bank), jnp.float32),
+        ],
+        interpret=interpret or interpret_forced(),
+    )(x, mask.astype(jnp.float32)[:, None, :], *wk,
+      jnp.asarray(bn_scale, jnp.float32)[:, None, :],
+      jnp.asarray(bn_bias, jnp.float32)[:, None, :],
+      jnp.asarray(proj_w, dt),
+      jnp.asarray(proj_scale, jnp.float32)[None, :],
+      jnp.asarray(proj_bias, jnp.float32)[None, :])

@@ -104,3 +104,46 @@ def test_pool_mask_kernel_matches_xla(monkeypatch):
     got = pool_mask_pallas(x, jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_front_matches_reference_order(monkeypatch):
+    """bank_pool_proj_pallas (the full bank->pool->proj1 front as one
+    kernel, ships ON for inference) matches the XLA op order with
+    perturbed BN statistics and exact-length masking, f32 and bf16."""
+    monkeypatch.setenv('FTT_PALLAS_INTERPRET', '1')
+    import jax.numpy as jnp
+
+    def mk(fused):
+        return CBHG(K=5, channels=64, proj_channels=[64, 48],
+                    num_highways=2, dropout=0.0, fuse_front=fused)
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(3, 29, 48).astype(np.float32))
+    lens = jnp.asarray([29, 11, 20])
+    v = mk(False).init(jax.random.PRNGKey(0), x)
+    # perturb BN running stats so the folded-affine path is non-trivial
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    import flax
+    flat = flax.traverse_util.flatten_dict(v)
+    for key in list(flat):
+        if key[-1] == 'mean':
+            flat[key] = flat[key] + 0.3 * rs.randn(*flat[key].shape) \
+                .astype(np.float32)
+        if key[-1] == 'var':
+            flat[key] = flat[key] * np.abs(
+                1.0 + 0.5 * rs.randn(*flat[key].shape)).astype(np.float32)
+    v = flax.traverse_util.unflatten_dict(flat)
+
+    a = mk(False).apply(v, x, train=False, lengths=lens)
+    b = mk(True).apply(v, x, train=False, lengths=lens)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=2e-5)
+
+    vb = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16)
+                                if p.dtype == jnp.float32 else p, v)
+    xb = x.astype(jnp.bfloat16)
+    ab_ = np.asarray(mk(False).apply(vb, xb, train=False,
+                                     lengths=lens)).astype(np.float32)
+    bb_ = np.asarray(mk(True).apply(vb, xb, train=False,
+                                    lengths=lens)).astype(np.float32)
+    np.testing.assert_allclose(bb_, ab_, rtol=0.08, atol=0.08)
