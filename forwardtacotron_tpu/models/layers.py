@@ -419,9 +419,10 @@ class CBHG(nn.Module):
     # (ops/pallas/cbhg.py bank_pool_proj_pallas) — unlike every earlier
     # attempt, the [B, T, K*C] bank concat never exists anywhere (HBM or
     # VMEM): branches stream one at a time through scratch, each feeding
-    # partial proj1 GEMMs. Measured A/B in the kernel docstring decides
-    # the default.
-    fuse_front: bool = False
+    # partial proj1 GEMMs. Measured on a QUIET v5e (whole-CBHG, bf16,
+    # median-of-4): postnet 167 vs 176 ms, prenet 130.4 vs 132.3 —
+    # isolated wins, end-to-end serving delta recorded in STATUS.
+    fuse_front: bool = True
 
     def setup(self):
         # attribute/list names are chosen so the parameter tree is identical
@@ -565,7 +566,7 @@ class CBHG(nn.Module):
         residual = x
         t = x.shape[1]
 
-        if not train and self._front_fusable(t):
+        if not train and self._front_fusable(t, x.shape[-1]):
             if tail is None:
                 mask = jnp.ones(x.shape[:2], jnp.float32)
             else:
@@ -625,11 +626,21 @@ class CBHG(nn.Module):
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
         return jax.default_backend() == 'tpu' or interpret_forced()
 
-    def _front_fusable(self, t: int) -> bool:
+    def _front_fusable(self, t: int, c_in: int) -> bool:
         if not self.fuse_front or self.is_initializing():
             return False
         from forwardtacotron_tpu.ops.pallas.cbhg import BANK_HALO, MAX_T
         if t > MAX_T or self.K // 2 > BANK_HALO:
+            return False
+        # ALL bank + proj1 weights stay VMEM-resident for the whole grid;
+        # a K=16 C_in=256 prenet is ~24 MB of weights alone and blows the
+        # 16 MB scoped limit (measured), so only fronts whose weight set
+        # fits a ~10 MB budget fuse (the K=8 C_in=80 postnet is 4.6 MB)
+        ksum = self.K * (self.K + 1) // 2
+        weight_bytes = 2 * (ksum * c_in * self.channels
+                            + 3 * self.K * self.channels
+                            * self.proj_channels[0])
+        if weight_bytes > 10 * 2 ** 20:
             return False
         import jax
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced

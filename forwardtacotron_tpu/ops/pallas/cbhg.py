@@ -170,6 +170,13 @@ def pool_mask_pallas(x: jnp.ndarray, mask: jnp.ndarray,
 # zero taps) and its pooled output feeds three partial proj1 GEMMs.
 # Row shifts go through zero/neg-inf-bordered scratch buffers (ref stores
 # + sublane-offset reads — Mosaic cannot concat offset slices).
+#
+# Measured on a QUIET v5e (bf16, median-of-4 + readback): whole postnet
+# CBHG 167 vs 176 ms at serving shapes (batch 4096 x 256 frames), and
+# END-TO-END serving 30.8k -> 32.1k audio-s/s/chip (+4.2%) — ships ON
+# (CBHG.fuse_front) where the resident weight set fits scoped VMEM: the
+# K=8 C_in=80 postnet (4.6 MB) fuses; the K=16 C_in=256 prenet (~24 MB
+# of bank+proj weights) is gated out, measured VMEM OOM.
 
 BANK_HALO = 8          # >= max bank tap offset (k=16 -> -8..7)
 

@@ -50,8 +50,11 @@ def test_fused_pool_proj_matches_reference_order(monkeypatch):
     import forwardtacotron_tpu.models.layers as L
 
     def mk(fused):
+        # fuse_front=False: the (default-on) bank+pool+proj1 mega-kernel
+        # takes precedence over this path and would absorb the dispatch
         return CBHG(K=4, channels=32, proj_channels=[32, 16],
-                    num_highways=2, dropout=0.0, fuse_pool_proj=fused)
+                    num_highways=2, dropout=0.0, fuse_pool_proj=fused,
+                    fuse_front=False)
 
     rs = np.random.RandomState(3)
     x = jnp.asarray(rs.randn(3, 23, 16).astype(np.float32))
