@@ -632,15 +632,20 @@ class CBHG(nn.Module):
         from forwardtacotron_tpu.ops.pallas.cbhg import BANK_HALO, MAX_T
         if t > MAX_T or self.K // 2 > BANK_HALO:
             return False
-        # ALL bank + proj1 weights stay VMEM-resident for the whole grid;
-        # a K=16 C_in=256 prenet is ~24 MB of weights alone and blows the
-        # 16 MB scoped limit (measured), so only fronts whose weight set
-        # fits a ~10 MB budget fuse (the K=8 C_in=80 postnet is 4.6 MB)
-        ksum = self.K * (self.K + 1) // 2
-        weight_bytes = 2 * (ksum * c_in * self.channels
-                            + 3 * self.K * self.channels
-                            * self.proj_channels[0])
-        if weight_bytes > 10 * 2 ** 20:
+        # weights stay VMEM-resident per dispatch, so only fronts whose
+        # whole weight set fits ONE dispatch fuse by default (the K=8
+        # C_in=80 postnet, 4.6 MB). Oversized fronts (K=16 C_in=256
+        # prenet, ~24 MB — scoped-VMEM OOM as one dispatch) CAN run as
+        # budget-sized branch groups with f32 partial sums
+        # (bank_pool_proj_pallas group-split mode, exact, parity-tested)
+        # and win in isolation (127.4 vs 131.5 ms whole-CBHG) — but
+        # END-TO-END serving measured 31.3k vs 32.1k audio-s/s with the
+        # grouped prenet on: the f32 partials' HBM round-trips at the
+        # token-rate shape cost more than the fusion saves. Multi-group
+        # fronts therefore stay on the XLA path.
+        from forwardtacotron_tpu.ops.pallas.cbhg import _front_groups
+        if len(_front_groups(tuple(range(1, self.K + 1)), c_in,
+                             self.channels, self.proj_channels[0])) > 1:
             return False
         import jax
         from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced

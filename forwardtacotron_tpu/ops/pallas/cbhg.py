@@ -182,7 +182,7 @@ BANK_HALO = 8          # >= max bank tap offset (k=16 -> -8..7)
 
 
 def _bank_pool_proj_kernel(x_ref, mask_ref, *rest, ks, c_in, c_bank,
-                           p_out, bb, t):
+                           p_out, bb, t, final_act):
     (w_refs, rest2) = (rest[:len(ks)], rest[len(ks):])
     (bns_ref, bnb_ref, pw_ref, ps_ref, pb_ref, out_ref,
      xpad_s, col_s, ypad_s, yppad_s) = rest2
@@ -221,8 +221,72 @@ def _bank_pool_proj_kernel(x_ref, mask_ref, *rest, ks, c_in, c_bank,
                     pw_ref[d, bi * c_bank:(bi + 1) * c_bank, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        out = jnp.maximum(pacc, 0.0) * ps_ref[...] + pb_ref[...]
-        out_ref[i] = out.astype(dt)
+        if final_act:
+            out = jnp.maximum(pacc, 0.0) * ps_ref[...] + pb_ref[...]
+            out_ref[i] = out.astype(dt)
+        else:
+            # group-split mode: emit the raw f32 partial proj1 sum; the
+            # caller adds the groups and applies ReLU + affine once
+            out_ref[i] = pacc
+
+
+def _front_weight_bytes(ks, c_in, c_bank, p_out, itemsize=2) -> int:
+    return itemsize * (sum(ks) * c_in * c_bank
+                       + 3 * len(ks) * c_bank * p_out)
+
+
+# resident-weight budget per dispatch: blocks + scratch + double buffering
+# must share the 16 MB scoped limit with the weights
+FRONT_WEIGHT_BUDGET = 10 * 2 ** 20
+
+
+def _front_groups(ks, c_in, c_bank, p_out):
+    """Partition branch indices into contiguous groups whose weights fit
+    the budget (greedy; ks are tiny so optimality is irrelevant)."""
+    groups, cur = [], []
+    for bi, k in enumerate(ks):
+        if cur and _front_weight_bytes(
+                [ks[j] for j in cur] + [k], c_in, c_bank, p_out) \
+                > FRONT_WEIGHT_BUDGET:
+            groups.append(cur)
+            cur = []
+        cur.append(bi)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _front_call(x, mask3, wk, bns, bnb, pw, ps, pb, ks, bis, t, c_in,
+                c_bank, p_out, bb, final_act, interpret):
+    sub_ks = tuple(ks[bi] for bi in bis)
+    out_dt = x.dtype if final_act else jnp.float32
+    return pl.pallas_call(
+        partial(_bank_pool_proj_kernel, ks=sub_ks, c_in=c_in,
+                c_bank=c_bank, p_out=p_out, bb=bb, t=t,
+                final_act=final_act),
+        grid=(x.shape[0] // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, t, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(bis) + 5),
+        out_specs=pl.BlockSpec((bb, t, p_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], t, p_out), out_dt),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2 * BANK_HALO, c_in), x.dtype),
+            pltpu.VMEM((t, max(sub_ks) * c_in), x.dtype),
+            pltpu.VMEM((t + 1, c_bank), jnp.float32),
+            pltpu.VMEM((t + 2, c_bank), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, mask3, *[wk[bi] for bi in bis],
+      jnp.stack([bns[bi] for bi in bis])[:, None, :],
+      jnp.stack([bnb[bi] for bi in bis])[:, None, :],
+      jnp.stack([pw[:, bi * c_bank:(bi + 1) * c_bank, :] for bi in bis],
+                axis=1).reshape(3, len(bis) * c_bank, p_out),
+      ps[None, :], pb[None, :])
 
 
 @partial(jax.jit, static_argnames=('ks', 'interpret'))
@@ -239,40 +303,39 @@ def bank_pool_proj_pallas(x: jnp.ndarray, mask: jnp.ndarray,
     (scale' = scale*rsqrt(var+eps), bias' = bias - mean*scale');
     proj_w [3, K*C, P]; proj_scale/proj_bias [P]: proj1's folded BN.
     Returns [B, T, P] = conv_project1 output (post ReLU+BN).
+
+    When the weight set exceeds the per-dispatch budget (the K=16
+    C_in=256 prenet is ~24 MB), branches split into budget-sized GROUPS:
+    one dispatch per group emitting its raw f32 partial proj1 sum, summed
+    in XLA with the ReLU + affine applied once — exact, at the cost of
+    the f32 partials' HBM round-trips.
     """
     from forwardtacotron_tpu.ops.pallas.rnn import interpret_forced
+    interpret = interpret or interpret_forced()
     b, t, c_in = x.shape
     c_bank = bank_weights[0].shape[-1]
     p_out = proj_w.shape[-1]
-    kmax = max(ks)
     dt = x.dtype
     bb = next((n for n in (8, 4, 2, 1) if b % n == 0), 1)
     wk = tuple(jnp.asarray(w, dt).reshape(w.shape[0] * c_in, c_bank)
                for w in bank_weights)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        partial(_bank_pool_proj_kernel, ks=tuple(ks), c_in=c_in,
-                c_bank=c_bank, p_out=p_out, bb=bb, t=t),
-        grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, t, c_in), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, t), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [full] * (len(ks) + 5),
-        out_specs=pl.BlockSpec((bb, t, p_out), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, p_out), dt),
-        scratch_shapes=[
-            pltpu.VMEM((t + 2 * BANK_HALO, c_in), dt),
-            pltpu.VMEM((t, kmax * c_in), dt),
-            pltpu.VMEM((t + 1, c_bank), jnp.float32),
-            pltpu.VMEM((t + 2, c_bank), jnp.float32),
-        ],
-        interpret=interpret or interpret_forced(),
-    )(x, mask.astype(jnp.float32)[:, None, :], *wk,
-      jnp.asarray(bn_scale, jnp.float32)[:, None, :],
-      jnp.asarray(bn_bias, jnp.float32)[:, None, :],
-      jnp.asarray(proj_w, dt),
-      jnp.asarray(proj_scale, jnp.float32)[None, :],
-      jnp.asarray(proj_bias, jnp.float32)[None, :])
+    mask3 = mask.astype(jnp.float32)[:, None, :]
+    bns = jnp.asarray(bn_scale, jnp.float32)
+    bnb = jnp.asarray(bn_bias, jnp.float32)
+    pw = jnp.asarray(proj_w, dt)
+    ps = jnp.asarray(proj_scale, jnp.float32)
+    pb = jnp.asarray(proj_bias, jnp.float32)
+
+    groups = _front_groups(ks, c_in, c_bank, p_out)
+    if len(groups) == 1:
+        return _front_call(x, mask3, wk, bns, bnb, pw, ps, pb, ks,
+                           groups[0], t, c_in, c_bank, p_out, bb,
+                           final_act=True, interpret=interpret)
+    acc = None
+    for bis in groups:
+        part = _front_call(x, mask3, wk, bns, bnb, pw, ps, pb, ks,
+                           bis, t, c_in, c_bank, p_out, bb,
+                           final_act=False, interpret=interpret)
+        acc = part if acc is None else acc + part
+    return (jnp.maximum(acc, 0.0) * ps[None, None, :]
+            + pb[None, None, :]).astype(dt)
